@@ -1,0 +1,189 @@
+"""Graph construction / preprocessing as declarative DataFrame plans.
+
+Re-expresses the reference's builder dataflow
+(gms/third_party/gapbs/builder.h) Spark-first:
+
+  SquishGraph (builder.h:206-251)    -> squish(): filter + dropDuplicates
+  symmetrize (builder.h:271-275)     -> symmetrize(): union of reversed
+  CountDegrees (builder.h:145-152)   -> degrees(): groupBy().count()
+  FindMaxNodeId (builder.h:108-116)  -> explicit vertex dictionary instead
+  RelabelByDegree (builder.h:1697-1730) -> assign_dense_ids by degree desc
+  InduceDirectedGraph / DAGify
+    (gms/algorithms/preprocessing/sequential/apply_order.h:10-35)
+                                     -> orient_by_rank(): join rank + filter
+
+There is deliberately NO global CSR: adjacency() produces sorted
+neighbor arrays per vertex (the SetGraph analog,
+gms/representations/graphs/set_graph.h:10-233), which Arrow hands to
+numpy kernels as zero-copy batches. Catalyst prunes/pushes everything
+else.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gms_spark.extract import extract_pages
+
+
+def squish(edges: DataFrame) -> DataFrame:
+    """Drop self-loops and parallel edges (SquishGraph, builder.h:206-251)."""
+    return edges.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirect: emit both directions (builder.h:271-275)."""
+    return edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def build_undirected(edges: DataFrame) -> DataFrame:
+    """Canonical simple undirected graph: symmetrized, deduped, loop-free.
+
+    This is the default ingest the reference applies to every benchmark
+    graph (CLI default-symmetrize, gms/common/cli/cli.h:99-108).
+    """
+    return squish(symmetrize(edges))
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids appearing at either endpoint."""
+    return (
+        edges.select(F.col("src").alias("vertex"))
+        .unionAll(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Out-degree per src (== degree on a symmetrized graph).
+
+    CountDegrees (builder.h:145-152) as one partial-aggregated groupBy.
+    """
+    return edges.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("degree"))
+
+
+def adjacency(edges: DataFrame) -> DataFrame:
+    """adj(src, neigh: sorted array<long>) — the SetGraph analog.
+
+    Sorted arrays keep every set operation a linear merge (mirrors the
+    reference's sorted-vector set, gms/representations/sets/sorted_set.h).
+    Hubs produce large arrays; callers that iterate pairs must orient by
+    degree rank first (orient_by_rank) so array length is bounded by the
+    graph's degeneracy, not its max degree — that, not AQE, is the real
+    skew control for mining kernels.
+    """
+    return edges.groupBy("src").agg(F.sort_array(F.collect_set("dst")).alias("neigh"))
+
+
+def degree_rank(edges: DataFrame, descending: bool = False) -> DataFrame:
+    """rank(vertex, rank): dense rank by (degree, vertex id) tie-break.
+
+    Ascending (default) is the mining orientation (low-degree first, as
+    in degree ordering gms/algorithms/preprocessing/parallel/degree.h:16-22);
+    descending mirrors RelabelByDegree (builder.h:1697-1730).
+    """
+    deg = vertices(edges).join(degrees(edges), "vertex", "left").fillna(0, ["degree"])
+    order = [F.col("degree").desc() if descending else F.col("degree").asc(), F.col("vertex").asc()]
+    return assign_dense_ids(deg, order).select("vertex", F.col("id").alias("rank"))
+
+
+def orient_by_rank(edges: DataFrame, rank: DataFrame) -> DataFrame:
+    """DAGify: keep (u,v) iff rank[u] < rank[v], remapped to rank space.
+
+    The single most important mining optimization in the reference
+    (apply_order.h:10-35, builder.h:1662-1694): bounds oriented
+    out-degree by the degeneracy, making hub intersections cheap.
+    Output edges are in RANK space (src/dst are ranks) so downstream
+    neighborhoods stay sorted and compact.
+    """
+    r_src = rank.select(F.col("vertex").alias("src"), F.col("rank").alias("rank_src"))
+    r_dst = rank.select(F.col("vertex").alias("dst"), F.col("rank").alias("rank_dst"))
+    # Join strategy is left to AQE: rank tables broadcast when small,
+    # shuffle-hash when not (10^12-vertex dictionaries obviously shuffle).
+    return (
+        edges.join(r_src, "src")
+        .join(r_dst, "dst")
+        .where(F.col("rank_src") < F.col("rank_dst"))
+        .select(F.col("rank_src").alias("src"), F.col("rank_dst").alias("dst"))
+    )
+
+
+def assign_dense_ids(df: DataFrame, order_cols: list, id_col: str = "id", num_partitions: int | None = None) -> DataFrame:
+    """Dense ids 0..n-1 in the global order of ``order_cols`` — scalably.
+
+    ``row_number() OVER (ORDER BY ...)`` funnels everything through ONE
+    partition; this is the distributed equivalent: range-repartition on
+    the order (parallel range sort, same machinery as orderBy), count per
+    partition, broadcast the tiny offset map, then add offset + local
+    position inside an Arrow batch. O(n/p) per task, no driver data.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.persist()
+    counts = {int(r["_pid"]): int(r["cnt"]) for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_schema = ranged.drop("_pid").schema.add(id_col, "long")
+
+    def add_ids(iterator):
+        # One partition = one or more Arrow batches of one _pid; rows are
+        # already sorted. Track local position across batches.
+        pos = 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            base = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            out = pdf.drop(columns=["_pid"]).copy()
+            out[id_col] = range(base + pos, base + pos + len(pdf))
+            pos += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(add_ids, out_schema)
+
+
+def edges_from_pages(pages: DataFrame, keep_external: bool = False) -> tuple[DataFrame, DataFrame]:
+    """pages -> (url_dict(url, id), edges(src, dst)) in long-id space.
+
+    Pipeline: Arrow-batched href extraction -> explode -> (optionally)
+    restrict to known urls -> degree-DESCENDING dense url dictionary
+    (RelabelByDegree semantics, builder.h:1697-1730: hubs get small ids,
+    keeping hot neighborhoods compact in Arrow batches) -> long edges.
+    """
+    ex = extract_pages(pages).select("url", "hrefs")
+    links = ex.select(F.col("url").alias("src_url"), F.explode("hrefs").alias("dst_url"))
+    urls = pages.select("url")
+    if not keep_external:
+        links = links.join(urls.withColumnRenamed("url", "dst_url"), "dst_url", "left_semi")
+
+    deg = (
+        links.select(F.col("src_url").alias("url"))
+        .unionAll(links.select(F.col("dst_url").alias("url")))
+        .groupBy("url")
+        .agg(F.count("*").alias("degree"))
+    )
+    all_urls = urls.join(deg, "url", "left").fillna(0, ["degree"])
+    url_dict = assign_dense_ids(all_urls, [F.col("degree").desc(), F.col("url").asc()]).select("url", "id")
+
+    e = (
+        links.join(url_dict.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src"), "src_url")
+        .join(url_dict.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "dst"), "dst_url")
+        .select("src", "dst")
+    )
+    return url_dict, e

@@ -1,0 +1,73 @@
+"""Connected components — hash-min label exchange + pointer jumping.
+
+Semantics of the reference's Shiloach–Vishkin kernel
+(gms/representations/graphs/log_graph/cc.cc:40-72): every vertex starts
+as its own component; hooking propagates smaller labels across edges;
+compression (pointer jumping, cc.cc:61-66) shortcuts label chains. The
+fixpoint — label[v] = min vertex id of v's component — is identical, and
+that is what we verify exactly (verifier cc.cc:98-138 checks consistency
+with BFS reachability).
+
+Spark shape per superstep (input must be symmetrized):
+  1. exchange:  cand = edges ⋈ labels(src) → groupBy(dst).min(label)
+     (partial aggregation pre-combines hub inputs map-side — the skew
+     control for high in-degree vertices)
+  2. hook:      new = least(old, cand)
+  3. compress:  new = labels[new] via a self-join (one pointer jump),
+     turning O(diameter) rounds into O(log n) on long chains.
+Convergence: changed-row count == 0, read by the driver like the
+reference's change flag (cc.cc:45-47).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gms_spark.graph.build import vertices
+from gms_spark.io.tableio import TableIO
+from gms_spark.runtime.superstep import iterate
+
+
+@dataclass
+class ComponentsResult:
+    components: DataFrame  # (vertex: long, component: long)
+    iterations: int
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 200,
+    compress: bool = True,
+    io: TableIO | None = None,
+    run_id: str | None = None,
+) -> ComponentsResult:
+    verts = vertices(edges)
+    labels0 = verts.select("vertex", F.col("vertex").alias("component"))
+
+    def step(labels: DataFrame, i: int) -> tuple[DataFrame, float]:
+        cand = (
+            edges.join(labels.withColumnRenamed("vertex", "src"), "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.min("component").alias("cand"))
+        )
+        new = labels.join(cand, "vertex", "left").select(
+            "vertex", F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias("component")
+        )
+        if compress:
+            # pointer jump: component <- component[component]
+            parent = new.select(F.col("vertex").alias("component"), F.col("component").alias("grand"))
+            new = new.join(parent, "component", "left").select(
+                "vertex", F.coalesce(F.col("grand"), F.col("component")).alias("component")
+            )
+        changed = (
+            new.join(labels.select("vertex", F.col("component").alias("old")), "vertex")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        return new, float(changed)
+
+    res = iterate(labels0, step, max_iters=max_iters, tol=0.0, io=io, kernel="components", run_id=run_id)
+    return ComponentsResult(res.state, res.iterations)

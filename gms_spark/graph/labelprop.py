@@ -1,0 +1,63 @@
+"""Synchronous label propagation (community detection flavor).
+
+spcl/gms has NO label-propagation kernel (verified by repo-wide search;
+SURVEY §2.4) — it is required by the north rule, so these semantics are
+pinned here and by the in-repo numpy oracle (tests/oracles.py), making
+"labels match exactly" well-defined:
+
+  * init: label[v] = v
+  * superstep i: for every vertex v with ≥1 neighbor,
+      label'[v] = the most frequent label among N(v)'s labels from the
+      PREVIOUS superstep (synchronous), ties broken by SMALLEST label;
+    isolated vertices keep their label.
+  * run a FIXED number of supersteps (deterministic; asynchronous LP is
+    order-dependent and unsuitable for an exact-match contract).
+
+Spark shape: edges ⋈ labels → count per (vertex, label) (partial aggs
+absorb hub fan-in) → per-vertex argmax via max_by on a (count, -label)
+struct — a single aggregation, no window sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gms_spark.graph.build import vertices
+from gms_spark.io.tableio import TableIO
+from gms_spark.runtime.superstep import iterate
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame  # (vertex: long, label: long)
+    iterations: int
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    io: TableIO | None = None,
+    run_id: str | None = None,
+) -> LabelPropResult:
+    verts = vertices(edges)
+    labels0 = verts.select("vertex", F.col("vertex").alias("label"))
+
+    def step(labels: DataFrame, i: int) -> tuple[DataFrame, float]:
+        nb = edges.join(labels.withColumnRenamed("vertex", "src"), "src").select(
+            F.col("dst").alias("vertex"), "label"
+        )
+        counts = nb.groupBy("vertex", "label").agg(F.count("*").alias("cnt"))
+        # argmax by (cnt desc, label asc): max_by over struct(cnt, -label)
+        best = counts.groupBy("vertex").agg(
+            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("new_label")
+        )
+        new = labels.join(best, "vertex", "left").select(
+            "vertex", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
+        )
+        return new, float("inf")
+
+    res = iterate(labels0, step, max_iters=iters, tol=-1.0, io=io, kernel="labelprop", run_id=run_id)
+    return LabelPropResult(res.state, res.iterations)

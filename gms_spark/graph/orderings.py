@@ -1,0 +1,91 @@
+"""Vertex orderings — the (graph, ordering) intermediate of GMS.
+
+Most GMS mining kernels consume a vertex ordering in "rank format"
+(res[v] = position; gms/algorithms/preprocessing/sequential/
+degeneracy_matula.h:47-50). Implemented rankings:
+
+  identity_order   — rank[v]=v (sequential/simple_id.h:11-17)
+  random_order     — seeded deterministic shuffle (random_ordering.h:12-23):
+                     rank by xxhash64(vertex, seed)
+  degree_order     — (degree, id) ascending (parallel/degree.h:16-22);
+                     descending variant = RelabelByDegree order
+  adg_order        — approximate degeneracy ordering (ADG), the
+                     (2+ε)-approx batch peel of parallel/
+                     degeneracy_approx_csr.h:12-78: each round removes
+                     every vertex with remaining degree ≤ (1+ε)·avg and
+                     assigns them the same batch number; rank = (batch,
+                     vertex) — deterministic, and the only degeneracy
+                     variant that parallelizes (exact Matula peel is
+                     inherently sequential; it lives in tests/oracles).
+
+All are DataFrame plans; ranks are assigned with the distributed dense-id
+assigner (no single-partition windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gms_spark.graph.build import assign_dense_ids, degrees, vertices
+
+
+def identity_order(edges: DataFrame) -> DataFrame:
+    return vertices(edges).select("vertex", F.col("vertex").alias("rank"))
+
+
+def random_order(edges: DataFrame, seed: int = 27491095) -> DataFrame:
+    v = vertices(edges).withColumn("h", F.xxhash64("vertex", F.lit(seed)))
+    return assign_dense_ids(v, [F.col("h").asc(), F.col("vertex").asc()]).select(
+        "vertex", F.col("id").alias("rank")
+    )
+
+
+def degree_order(edges: DataFrame, descending: bool = False) -> DataFrame:
+    from gms_spark.graph.build import degree_rank
+
+    return degree_rank(edges, descending=descending)
+
+
+def adg_order(edges: DataFrame, eps: float = 0.1, max_rounds: int = 200) -> DataFrame:
+    """Approximate degeneracy ordering by batch peeling.
+
+    Round r: boundary = (1+eps) · avg(remaining degree); peel every
+    vertex with degree ≤ boundary (guaranteed non-empty: the average
+    dominates the minimum), record batch r; subtract peeled vertices'
+    contributions and repeat. O(log n) rounds
+    (degeneracy_approx_csr.h:12-78, boundary avg variant
+    boundary_function.h:14-33). Final rank: dense ids over (batch,
+    vertex).
+
+    Driver-side loop over DataFrames with localCheckpoint per round —
+    same superstep discipline as the kernels.
+    """
+    remaining = edges.localCheckpoint(eager=True)
+    peeled_parts: list[DataFrame] = []
+    spark = edges.sparkSession
+    batch = 0
+    while batch < max_rounds:
+        deg = degrees(remaining)  # vertices with no remaining edges are peeled implicitly
+        row = deg.agg(F.avg("degree").alias("avg"), F.count("*").alias("n")).first()
+        if row["n"] == 0 or row["avg"] is None:
+            break
+        boundary = (1.0 + eps) * float(row["avg"])
+        peel = deg.where(F.col("degree") <= boundary).select("vertex", F.lit(batch).alias("batch"))
+        peeled_parts.append(peel.localCheckpoint(eager=True))
+        keep = deg.where(F.col("degree") > boundary).select("vertex")
+        remaining = (
+            remaining.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        batch += 1
+
+    # isolated vertices of the original graph never appear in `edges`'
+    # degree table; callers pass symmetrized edges so every vertex shows up.
+    all_batches = peeled_parts[0]
+    for p in peeled_parts[1:]:
+        all_batches = all_batches.unionAll(p)
+    return assign_dense_ids(all_batches, [F.col("batch").asc(), F.col("vertex").asc()]).select(
+        "vertex", F.col("id").alias("rank"), "batch"
+    )

@@ -1,0 +1,134 @@
+"""PageRank — pull-style power iteration as a repartition-by-src SpMV.
+
+Semantics match the reference exactly (gms/representations/graphs/
+log_graph/pr.cc:34-61): damping 0.85, init 1/n, per superstep
+``score[v] = (1-d)/n + d * Σ_{u→v} score[u]/out_degree(u)``, stop when
+the L1 delta drops below tolerance (ref default 1e-4/20 iters, pr.cc:101;
+the north rule tightens to 1e-6). The reference divides by out_degree
+unconditionally (its graphs are symmetrized, so out_degree ≥ 1); we make
+the dangling-vertex policy explicit.
+
+Scale design:
+  * edges are pre-joined ONCE with 1/out_degree and repartitioned by src
+    (the static side never reshuffles across supersteps; on a real
+    cluster this table is bucketed by src).
+  * the per-iteration gather is scores ⋈ edges → groupBy(dst).sum —
+    Spark's partial (map-side) aggregation is the degree-aware combine:
+    hub contributions are pre-summed per partition before the shuffle,
+    which is exactly what manual salting would buy. For pathological
+    skew AQE skew-join splitting is on (session.py).
+  * optional explicit salting (salt_partitions > 1) demonstrates the
+    manual two-stage aggregate: groupBy(dst, salt) → groupBy(dst).
+  * plan depth stays O(1) via the superstep runtime (checkpoint or
+    localCheckpoint each iteration).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gms_spark.graph.build import degrees, vertices
+from gms_spark.io.tableio import TableIO
+from gms_spark.runtime.superstep import iterate
+
+
+@dataclass
+class PageRankResult:
+    scores: DataFrame  # (vertex: long, score: double)
+    iterations: int
+    deltas: list[float]
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+    fixed_iters: int | None = None,
+    dangling: str = "error",  # "error" | "redistribute" | "ignore"
+    io: TableIO | None = None,
+    run_id: str | None = None,
+    salt_partitions: int = 1,
+    num_partitions: int | None = None,
+) -> PageRankResult:
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    verts = vertices(edges).persist()
+    n = verts.count()
+    deg = degrees(edges)
+
+    n_dangling = verts.join(deg, "vertex", "left_anti").count()
+    if n_dangling and dangling == "error":
+        raise ValueError(
+            f"{n_dangling} vertices have out-degree 0; the reference semantics "
+            "(pr.cc:43) require out_degree >= 1 — symmetrize the graph or pass "
+            "dangling='redistribute'"
+        )
+
+    # Static SpMV matrix: (src, dst, w=1/out_degree), partitioned by src once.
+    ew = (
+        edges.join(deg.withColumnRenamed("vertex", "src"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("degree").cast("double")).alias("w"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    ew.count()
+
+    dang = verts.join(deg, "vertex", "left_anti").persist() if n_dangling else None
+
+    base = (1.0 - damping) / n
+    scores0 = verts.select("vertex", F.lit(1.0 / n).alias("score"))
+
+    def step(scores: DataFrame, i: int) -> tuple[DataFrame, float]:
+        contribs = (
+            scores.withColumnRenamed("vertex", "src")
+            .join(ew, "src")
+            .select(F.col("dst").alias("vertex"), (F.col("score") * F.col("w")).alias("c"))
+        )
+        if salt_partitions > 1:
+            # Explicit degree-aware two-stage aggregate: partial sums per
+            # (vertex, salt) bucket, then final per vertex. Spark's hash
+            # aggregate already partial-combines map-side; this makes the
+            # split visible/forcible for pathological hub keys.
+            contribs = contribs.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_partitions)))
+            sums = (
+                contribs.groupBy("vertex", "_salt")
+                .agg(F.sum("c").alias("c"))
+                .groupBy("vertex")
+                .agg(F.sum("c").alias("s"))
+            )
+        else:
+            sums = contribs.groupBy("vertex").agg(F.sum("c").alias("s"))
+
+        extra = 0.0
+        if n_dangling and dangling == "redistribute":
+            dmass = scores.join(dang, "vertex", "left_semi").agg(F.sum("score")).first()[0] or 0.0
+            extra = damping * dmass / n
+
+        new = (
+            verts.join(sums, "vertex", "left")
+            .select(
+                "vertex",
+                (F.lit(base + extra) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("score"),
+            )
+        )
+        if fixed_iters is not None:
+            return new, float("inf")
+        delta = (
+            new.join(scores.select("vertex", F.col("score").alias("old")), "vertex")
+            .agg(F.sum(F.abs(F.col("score") - F.col("old"))))
+            .first()[0]
+        )
+        return new, float(delta)
+
+    iters = fixed_iters if fixed_iters is not None else max_iters
+    res = iterate(scores0, step, max_iters=iters, tol=tol if fixed_iters is None else -1.0,
+                  io=io, kernel="pagerank", run_id=run_id)
+    verts.unpersist()
+    ew.unpersist()
+    return PageRankResult(res.state, res.iterations, res.deltas)

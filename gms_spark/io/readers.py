@@ -1,0 +1,107 @@
+"""Edge-list readers for the classic graph-benchmark file formats.
+
+Covers the reference's reader dispatch (gms/third_party/gapbs/reader.h:220-248):
+  .el    whitespace 'u v' rows                 (reader.h:50-57)
+  .wel   'u v w'                               (reader.h:59-67)
+  .gr    DIMACS, 'a u v w' rows, 1-based       (reader.h:70-85)
+  .mtx   MatrixMarket coordinate, 1-based,     (reader.h:148-218)
+         honoring the 'symmetric' header
+  .graph METIS adjacency-per-line, 1-based     (reader.h:88-145)
+
+The reference's binary .sg/.wsg memory images are replaced by our parquet
+snapshots (TableIO) — same role (fast reload of a built graph).
+
+All readers return edges(src: long, dst: long[, weight: double]) and are
+plain DataFrame plans (csv/text scan + select/filter), so Catalyst prunes
+and parallelizes the scan; nothing is collected on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_edge_list(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    if fmt is None:
+        fmt = path.rsplit(".", 1)[-1].lower()
+    if fmt == "el":
+        return _read_el(spark, path, weighted=False)
+    if fmt == "wel":
+        return _read_el(spark, path, weighted=True)
+    if fmt == "gr":
+        return _read_gr(spark, path)
+    if fmt == "mtx":
+        return _read_mtx(spark, path)
+    if fmt == "graph":
+        return _read_metis(spark, path)
+    raise ValueError(f"unknown edge-list format: {fmt}")
+
+
+def _tokens(line):
+    return F.split(F.trim(line), r"\s+")
+
+
+def _read_el(spark: SparkSession, path: str, weighted: bool) -> DataFrame:
+    df = spark.read.text(path)
+    t = _tokens(df["value"])
+    out = df.where(F.trim("value") != "").where(~F.col("value").startswith("#"))
+    cols = [t.getItem(0).cast("long").alias("src"), t.getItem(1).cast("long").alias("dst")]
+    if weighted:
+        cols.append(t.getItem(2).cast("double").alias("weight"))
+    return out.select(*cols)
+
+
+def _read_gr(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.text(path)
+    t = _tokens(df["value"])
+    return (
+        df.where(F.col("value").startswith("a"))
+        .select(
+            (t.getItem(1).cast("long") - 1).alias("src"),
+            (t.getItem(2).cast("long") - 1).alias("dst"),
+            t.getItem(3).cast("double").alias("weight"),
+        )
+    )
+
+
+def _read_mtx(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    # '%' lines are comments; the first non-comment line is 'rows cols nnz'.
+    header = spark.read.text(path).limit(1).collect()[0][0]
+    symmetric = "symmetric" in header.lower()
+    df = spark.read.text(path).where(~F.col("value").startswith("%")).where(F.trim("value") != "")
+    sizes = df.limit(1).collect()[0][0].split()
+    sr, sc = int(sizes[0]) - 1, int(sizes[1]) - 1
+    t = _tokens(df["value"])
+    body = df.select(
+        (t.getItem(0).cast("long") - 1).alias("src"),
+        (t.getItem(1).cast("long") - 1).alias("dst"),
+    )
+    # Remove exactly one occurrence of the sizes row (it parses as an edge).
+    w = Window.partitionBy("src", "dst").orderBy(F.lit(1))
+    body = (
+        body.withColumn("_rn", F.row_number().over(w))
+        .where(~((F.col("src") == sr) & (F.col("dst") == sc) & (F.col("_rn") == 1)))
+        .drop("_rn")
+    )
+    if symmetric:
+        body = body.unionAll(body.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return body
+
+
+def _read_metis(spark: SparkSession, path: str) -> DataFrame:
+    # METIS: line i (1-based, after the header) lists neighbors of vertex i.
+    from pyspark.sql.window import Window
+
+    df = spark.read.text(path).select("value")
+    # Assign stable line numbers via a single ordered pass (METIS files are
+    # small config-like inputs; a global order here is acceptable).
+    df = df.withColumn("_ln", F.monotonically_increasing_id())
+    df = df.withColumn("_ln", F.row_number().over(Window.orderBy("_ln")) - 1)
+    body = df.where(F.col("_ln") > 0).where(F.trim("value") != "")
+    return body.select(
+        (F.col("_ln") - 1).alias("src"),
+        F.explode(_tokens(F.col("value"))).alias("d"),
+    ).select("src", (F.col("d").cast("long") - 1).alias("dst"))

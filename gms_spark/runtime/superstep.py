@@ -1,0 +1,133 @@
+"""Generic superstep loop: iterate(state, step_fn) with checkpoint/resume.
+
+The Spark replacement for the reference's in-memory kernel loops
+(e.g. PageRank's trial loop gms/representations/graphs/log_graph/pr.cc:38-59,
+CC's change-flag loop cc.cc:41-59): each superstep is one Spark job over
+DataFrames; convergence is a driver-side decision on a scalar the step
+reports (delta-norm / changed-count), exactly where the reference reads
+its error/change flag.
+
+Scale design notes:
+  * The state DataFrame is persisted each step and the previous one
+    unpersisted, so the working set is two small per-vertex tables.
+  * The logical plan is truncated every step — either by the checkpoint
+    write-then-read (when a TableIO is given) or by localCheckpoint —
+    so plan depth does not grow with iteration count (a classic failure
+    mode of iterative DataFrame code).
+  * With a TableIO, every iteration commits an atomic snapshot plus
+    per-partition lineage rows (iteration, partition id, rows, delta
+    norm, wall ms); a relaunch with the same (io, run_id) resumes from
+    the last committed iteration — kill-and-resume yields identical
+    final results (tested in tests/test_superstep_resume.py).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gms_spark.io.tableio import TableIO
+
+
+@dataclass
+class SuperstepResult:
+    state: DataFrame
+    iterations: int
+    deltas: list[float]
+    resumed_from: int | None = None
+
+
+def _partition_counts(df: DataFrame) -> list[tuple[int, int]]:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .count()
+        .collect()
+    )
+    return [(int(r["partition_id"]), int(r["count"])) for r in rows]
+
+
+def iterate(
+    state: DataFrame,
+    step: Callable[[DataFrame, int], tuple[DataFrame, float]],
+    max_iters: int,
+    tol: float = 0.0,
+    io: TableIO | None = None,
+    kernel: str = "kernel",
+    run_id: str | None = None,
+    lineage_detail: bool = True,
+) -> SuperstepResult:
+    """Run ``step(state, i) -> (new_state, delta)`` until delta <= tol.
+
+    ``delta`` semantics are kernel-defined (L1 norm for PageRank, changed
+    row count for CC/LP); the loop stops when ``delta <= tol`` or after
+    ``max_iters`` supersteps.
+    """
+    spark = state.sparkSession
+    run_id = run_id or uuid.uuid4().hex[:12]
+    table = f"{kernel}_state_{run_id}"
+    deltas: list[float] = []
+    start_iter = 0
+    resumed_from = None
+
+    if io is not None:
+        last = io.last_committed(table)
+        if last is not None:
+            state = io.read(spark, table, last)
+            start_iter = last + 1
+            resumed_from = last
+            prior = [r for r in io.lineage_rows() if r.get("run_id") == run_id and r.get("kernel") == kernel]
+            by_iter: dict[int, float] = {}
+            for r in prior:
+                by_iter[int(r["iteration"])] = float(r["delta_norm"])
+            deltas = [by_iter[i] for i in sorted(by_iter) if i <= last]
+            if deltas and deltas[-1] <= tol:
+                return SuperstepResult(state, start_iter, deltas, resumed_from)
+
+    state = state.persist()
+    state.count()
+
+    i = start_iter
+    while i < max_iters:
+        t0 = time.time()
+        new_state, delta = step(state, i)
+        if io is not None:
+            io.write(new_state, table, i, meta={"delta": delta})
+            committed = io.read(spark, table, i).persist()
+            committed.count()
+            wall_ms = (time.time() - t0) * 1000.0
+            parts = _partition_counts(committed) if lineage_detail else [(-1, committed.count())]
+            io.append_lineage(
+                spark,
+                [
+                    {
+                        "kernel": kernel,
+                        "run_id": run_id,
+                        "iteration": i,
+                        "partition_id": pid,
+                        "rows": cnt,
+                        "delta_norm": float(delta),
+                        "wall_ms": wall_ms,
+                        "committed_at": time.time(),
+                    }
+                    for pid, cnt in parts
+                ],
+            )
+            state.unpersist()
+            state = committed
+        else:
+            # No durable checkpoint requested: still truncate the plan so
+            # iteration depth stays O(1).
+            new_state = new_state.localCheckpoint(eager=True)
+            state.unpersist()
+            state = new_state
+        deltas.append(float(delta))
+        i += 1
+        if delta <= tol:
+            break
+
+    return SuperstepResult(state, i, deltas, resumed_from)

@@ -1,0 +1,283 @@
+"""Document deduplication operators over a documents(doc_id, text) table.
+
+Not present in the reference (spcl/gms is a graph library); these are the
+training-data-pipeline operators a 100 TB corpus needs, built on the same
+design rules as the graph kernels: JVM-side built-ins for everything hot,
+engine-agnostic *arithmetic* hashing so results are deterministic and
+independently checkable (the DuckDB oracles replicate the exact pipeline).
+
+Operators:
+  exact_dedup           — hash/groupBy on full text
+  shingle_ids           — word k-grams → int64 ids via a dense token
+                          dictionary + polynomial combine (mod p)
+  jaccard_join          — EXACT set-similarity join on shingle sets with
+                          length + prefix filtering (AllPairs/PPJoin-lite):
+                          deterministic, no recall loss, prunes hub shingles
+  minhash_lsh_join      — MinHash signatures + banded LSH candidates +
+                          exact verification; every hash is (a*s+b) mod p
+                          integer arithmetic, so the whole pipeline is
+                          reproducible anywhere
+  simhash64             — 64-bit SimHash per doc (numpy, Arrow-batched)
+  simhash_near_dup      — banded simhash buckets + exact Jaccard verify
+
+Scale notes: all joins are equi-joins on shingle/band keys (shuffle
+partitioned by key); ultra-frequent shingles are the skew risk, handled
+by prefix filtering (jaccard_join) / banding (LSH). Nothing collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+P61 = 2305843009213693951  # 2^61-1 (Mersenne); products of <2^31 values stay in int64
+PTOK = 2147483647  # 2^31-1 token-id modulus
+SHINGLE_BASE = 1000003
+
+
+def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, token) — whitespace tokenization, position-preserving."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token")
+    ).where(F.col("token") != "")
+
+
+def token_dict(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dense token ids 1..V ordered lexicographically (deterministic).
+
+    Uses the distributed dense-id assigner (no single-partition window):
+    a web-scale vocabulary is itself a big table. Equals
+    ``dense_rank() over (order by token)`` because tokens are distinct —
+    which is exactly what the SQL oracles compute.
+    """
+    from gms_spark.graph.build import assign_dense_ids
+
+    toks = tokens(docs, text_col).select("token").distinct()
+    return assign_dense_ids(toks, [F.col("token").asc()]).select(
+        "token", (F.col("id") + 1).alias("token_id")
+    )
+
+
+def shingle_ids(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word-k-gram ids.
+
+    shingle = ((t1*B + t2)*B + t3) mod 2^31-1 over dense token ids: pure
+    integer arithmetic, identical in any engine. Built entirely from
+    JVM-side functions (posexplode/join/collect/transform) — no UDF.
+    """
+    td = token_dict(docs, text_col)
+    tk = tokens(docs, text_col).join(td, "token").select("doc_id", "pos", "token_id")
+    arr = tk.groupBy("doc_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "token_id"))), lambda s: s["token_id"]).alias("ids")
+    )
+    sh = arr.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("ids") - k, F.lit(-1))),
+                lambda i: sum_poly([F.element_at(F.col("ids"), i + j + 1) for j in range(k)]),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def sum_poly(terms):
+    """((t1*B + t2)*B + t3) mod PTOK as a Column expression."""
+    acc = terms[0].cast("long")
+    for t in terms[1:]:
+        acc = (acc * SHINGLE_BASE + t.cast("long")) % PTOK
+    return acc
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate clusters: (canonical_id, n_dups) per distinct text.
+
+    One partial-aggregated groupBy on the text hash → scales to any
+    corpus (group key is the text itself here for exactness; at 100 TB
+    you groupBy (xxhash64(text), length(text)) first and verify inside
+    groups — same plan shape).
+    """
+    return docs.groupBy(F.col(text_col).alias("text")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+def _verified_pairs(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact-verify candidate (a,b) pairs against full shingle sets."""
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    j = cands.join(sa, "a").join(sb, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        j.select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_join(docs: DataFrame, threshold: float = 0.8, k: int = 3, text_col: str = "text") -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join on word-k-gram sets.
+
+    AllPairs prefix filtering: order each doc's shingles by ascending
+    global frequency (rarest first, ties by shingle id); if
+    J(A,B) >= t then the first ⌊(1-t)·|A|⌋+1 shingles of A and B must
+    share an element — so the candidate join only touches prefixes,
+    skipping the huge posting lists of common shingles. Deterministic,
+    100% recall (unlike LSH), and the frequency ordering is itself a
+    skew mitigation.
+    """
+    sh = shingle_ids(docs, k, text_col).persist()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .withColumn("r", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    prefix = (
+        ordered.join(sizes, "doc_id")
+        .where(F.col("r") <= F.floor((1.0 - threshold) * F.col("sz")) + 1)
+        .select("doc_id", "shingle")
+    )
+    cands = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
+    out = _verified_pairs(cands, sets, threshold)
+    return out
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs < 2^31-1 for h_j(s) = (a*s + b) mod p."""
+    out = []
+    for j in range(1, num_hashes + 1):
+        a = (j * 2654435761 + seed * 40503 + 1) % PTOK
+        b = (j * 97531 + seed * 7919 + 7) % PTOK
+        out.append((a or 1, b))
+    return out
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 24, k: int = 3, seed: int = 7, text_col: str = "text") -> DataFrame:
+    """(doc_id, m0..m{H-1}) MinHash signature — H JVM-side min-aggregates.
+
+    No UDF: each hash is a codegen'd arithmetic expression over the
+    exploded shingle rows; one shuffle (groupBy doc_id) produces the
+    whole signature.
+    """
+    sh = shingle_ids(docs, k, text_col)
+    aggs = [
+        F.min((F.col("shingle") * F.lit(a) + F.lit(b)) % F.lit(PTOK)).alias(f"m{j}")
+        for j, (a, b) in enumerate(_minhash_coeffs(num_hashes, seed))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 24,
+    band_rows: int = 2,
+    k: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH candidates + exact Jaccard verification.
+
+    Banding: num_hashes/band_rows bands; docs sharing any band bucket are
+    candidates; candidates are verified EXACTLY, so false positives cost
+    only compute, and recall at J>=t is 1-(1-t^r)^b (≈0.995 at t=0.5
+    with r=2,b=12). Entirely deterministic given (seed, num_hashes).
+    """
+    sigs = minhash_signatures(docs, num_hashes, k, seed, text_col).persist()
+    n_bands = num_hashes // band_rows
+    bands = []
+    for bi in range(n_bands):
+        cols = [F.col(f"m{bi * band_rows + r}") for r in range(band_rows)]
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = (acc * F.lit(131071) + c) % F.lit(PTOK)
+        bands.append(sigs.select("doc_id", F.lit(bi).alias("band"), acc.alias("bucket")))
+    bdf = bands[0]
+    for b in bands[1:]:
+        bdf = bdf.unionAll(b)
+    cands = (
+        bdf.alias("x")
+        .join(bdf.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sh = shingle_ids(docs, k, text_col)
+    sets = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
+    return _verified_pairs(cands, sets, threshold)
+
+
+def simhash64(docs: DataFrame, k: int = 1, seed: int = 11, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash over shingle ids.
+
+    Arrow-batched numpy: per batch, expand each shingle id to 64 ±1 bit
+    votes via splitmix-style mixing, sum, take signs. The only Python
+    stage in this module, and it is O(shingles × 64) vectorized.
+    """
+    sh = shingle_ids(docs, k, text_col)
+    grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, arr in enumerate(pdf["shingles"]):
+                s = np.asarray(arr, dtype=np.uint64)
+                # mix each shingle to 64 bits: h = splitmix(s + seed)
+                x = (s + np.uint64(seed) + np.uint64(0x9E3779B97F4A7C15))
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                x = x ^ (x >> np.uint64(31))
+                votes = ((x[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+                sums = (2 * votes - 1).sum(axis=0)
+                bitsset = (sums > 0).astype(np.uint64)
+                out[i] = int((bitsset << bits).sum(dtype=np.uint64).astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "simhash": out})
+
+    return grouped.mapInPandas(compute, "doc_id long, simhash long")
+
+
+def simhash_near_dup(
+    docs: DataFrame, threshold: float = 0.5, n_bands: int = 4, k: int = 3, seed: int = 11, text_col: str = "text"
+) -> DataFrame:
+    """SimHash-banded candidates (16-bit bands) + exact Jaccard verify."""
+    sims = simhash64(docs, k=1, seed=seed, text_col=text_col)
+    width = 64 // n_bands
+    bands = []
+    for bi in range(n_bands):
+        bands.append(
+            sims.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"),
+            )
+        )
+    bdf = bands[0]
+    for b in bands[1:]:
+        bdf = bdf.unionAll(b)
+    cands = (
+        bdf.alias("x")
+        .join(bdf.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sh = shingle_ids(docs, k, text_col)
+    sets = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
+    return _verified_pairs(cands, sets, threshold)

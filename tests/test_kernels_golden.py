@@ -1,0 +1,100 @@
+"""Graph kernels on the GMS golden graphs vs numpy oracles.
+
+Mirrors the reference's verifier strategy (SURVEY §5): every kernel
+result is re-derived by an independent single-process oracle.
+Fixtures are verbatim copies of /root/reference/testing/testGraphs/*.el
+(data files, format gms/third_party/gapbs/reader.h:50-57).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gms_spark.graph.build import build_undirected
+from gms_spark.graph.components import connected_components
+from gms_spark.graph.labelprop import label_propagation
+from gms_spark.graph.pagerank import pagerank
+from gms_spark.graph.triangles import triangle_count_per_vertex, triangle_count_total
+
+from .oracles import (
+    components_oracle,
+    labelprop_oracle,
+    load_el,
+    pagerank_oracle,
+    triangle_total_oracle,
+    triangle_vertex_oracle,
+    undirect,
+)
+
+GRAPHS = ["micro.el", "triangles_1.el", "triangles_3.el", "smallRandom1.el", "eppsteinExample.el", "tomitaExample.el"]
+
+
+@pytest.fixture(params=GRAPHS)
+def graph(request, edges_df_factory):
+    el = undirect(load_el(request.param))
+    return request.param, el, edges_df_factory(el)
+
+
+def test_build_undirected_squishes(edges_df_factory):
+    el = load_el("triangles_3.el")
+    df = build_undirected(edges_df_factory(el))
+    got = np.array(sorted((r["src"], r["dst"]) for r in df.collect()))
+    assert np.array_equal(got, undirect(el))
+
+
+def test_pagerank_matches_oracle(graph):
+    name, el, df = graph
+    want = pagerank_oracle(el, tol=1e-10, max_iters=200)
+    res = pagerank(df, tol=1e-10, max_iters=200)
+    got = {r["vertex"]: r["score"] for r in res.scores.collect()}
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6, rel=1e-6), (name, v)
+
+
+def test_pagerank_scores_sum_to_one(graph):
+    _, _, df = graph
+    res = pagerank(df, tol=1e-9, max_iters=200)
+    total = sum(r["score"] for r in res.scores.collect())
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_components_match_oracle(graph):
+    name, el, df = graph
+    want = components_oracle(el)
+    res = connected_components(df)
+    got = {r["vertex"]: r["component"] for r in res.components.collect()}
+    assert got == want, name
+
+
+def test_labelprop_matches_oracle(graph):
+    name, el, df = graph
+    for iters in (1, 3, 5):
+        want = labelprop_oracle(el, iters)
+        got = {r["vertex"]: r["label"] for r in label_propagation(df, iters=iters).labels.collect()}
+        assert got == want, (name, iters)
+
+
+def test_triangles_total(graph):
+    name, el, df = graph
+    assert triangle_count_total(df) == triangle_total_oracle(el), name
+
+
+def test_triangles_per_vertex(graph):
+    name, el, df = graph
+    want = triangle_vertex_oracle(el)
+    got = {r["vertex"]: r["count"] for r in triangle_count_per_vertex(df).collect()}
+    assert got == want, name
+
+
+def test_known_invariants(edges_df_factory):
+    # FIXTURES.md §2 spot values, recomputed here end-to-end.
+    el = undirect(load_el("triangles_1.el"))
+    assert triangle_count_total(edges_df_factory(el)) == 1
+    el3 = undirect(load_el("triangles_3.el"))
+    assert triangle_count_total(edges_df_factory(el3)) == 3
+    micro = undirect(load_el("micro.el"))
+    res = pagerank(edges_df_factory(micro), tol=1e-9)
+    got = sorted(r["score"] for r in res.scores.collect())
+    assert got == pytest.approx([0.5, 0.5], abs=1e-6)
