@@ -1,0 +1,176 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline: PageRank superstep throughput (edges/sec) on a skewed R-MAT
+web-graph proxy, plus the north rule's two-parallelism scaling run
+(local[8] vs local[32] standing in for N vs 4N executors — same job,
+same input, fresh session each) with scaling efficiency
+(thru_4N / thru_N) / 4.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    cores for the main run (default 32)
+  BENCH_SKIP_SCALING  set to skip the scaling runs (faster iteration)
+  BENCH_RMAT_SCALE    R-MAT scale for PR throughput (default 17)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RMAT_SCALE = int(os.environ.get("BENCH_RMAT_SCALE", "17"))
+RMAT_DEG = 16
+PR_SUPERSTEPS = 5
+TRIALS = 3  # reference protocol: >=3 trials (gms/common/cli/args.h:24)
+
+
+def _session(cores: int):
+    from gms_spark.session import get_spark
+
+    return get_spark(
+        f"gms_spark-bench-{cores}",
+        cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.default.parallelism": str(max(cores, 8))},
+    )
+
+
+def pr_superstep_throughput(spark, scale: int, deg: int, supersteps: int) -> dict:
+    """Edges/sec per PageRank superstep on a symmetrized R-MAT graph.
+
+    Build (generator + squish/symmetrize + SpMV-table cache) is timed
+    separately; the throughput clock covers only the iteration loop —
+    the number that must scale with cores.
+    """
+    from pyspark.sql import functions as F
+
+    from gms_spark.graph.build import build_undirected, degrees, vertices
+    from gms_spark.graph.generators import rmat_el
+
+    t0 = time.time()
+    und = build_undirected(rmat_el(spark, scale, deg)).persist()
+    m = und.count()
+    verts = vertices(und).persist()
+    n = verts.count()
+    deg_df = degrees(und)
+    ew = (
+        und.join(deg_df.withColumnRenamed("vertex", "src"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("degree")).alias("w"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "src")
+        .persist()
+    )
+    ew.count()
+    build_s = time.time() - t0
+
+    damping, base = 0.85, 0.15 / n
+    best = None
+    for _trial in range(TRIALS):
+        scores = verts.select("vertex", F.lit(1.0 / n).alias("score")).localCheckpoint(eager=True)
+        t1 = time.time()
+        for _ in range(supersteps):
+            sums = (
+                scores.withColumnRenamed("vertex", "src")
+                .join(ew, "src")
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.sum(F.col("score") * F.col("w")).alias("s"))
+            )
+            scores = (
+                verts.join(sums, "vertex", "left")
+                .select("vertex", (F.lit(base) + damping * F.coalesce("s", F.lit(0.0))).alias("score"))
+                .localCheckpoint(eager=True)
+            )
+        iter_s = time.time() - t1
+        if best is None or iter_s < best:
+            best = iter_s
+    und.unpersist()
+    ew.unpersist()
+    verts.unpersist()
+    return {
+        "n_vertices": n,
+        "m_edges": m,
+        "build_s": round(build_s, 3),
+        "iter_s": round(best, 3),
+        "supersteps": supersteps,
+        "edges_per_sec": round(m * supersteps / best, 1),
+    }
+
+
+def run_headline_queries(spark) -> dict:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [
+        "pagerank",
+        "components",
+        "labelprop",
+        "triangles_total",
+        "kclique4",
+        "vertex_similarity",
+        "link_prediction",
+        "minhash_dedup",
+        "jaccard_dedup",
+        "exact_dedup",
+        "token_stats",
+        "language_id",
+        "ann_topk",
+        "embedding_near_dup",
+        "events_hourly",
+        "pricing_summary",
+        "top_customers",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.count()  # materialize fully (collect would skew large outputs)
+        out[name] = round(time.time() - t0, 3)
+    # pages pipeline: synth → extract → edges → 3 PR supersteps
+    t0 = time.time()
+    from gms_spark.graph.build import build_undirected, edges_from_pages
+    from gms_spark.graph.pagerank import pagerank
+    from gms_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 8000)
+    _, edges = edges_from_pages(pages)
+    und = build_undirected(edges)
+    pagerank(und, fixed_iters=3).scores.count()
+    out["pages_pipeline"] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    result: dict = {"sf": SF_DIR, "cpus": CPUS}
+
+    spark = _session(CPUS)
+    queries = run_headline_queries(spark)
+    thr = pr_superstep_throughput(spark, RMAT_SCALE, RMAT_DEG, PR_SUPERSTEPS)
+    queries["pagerank_rmat_supersteps"] = thr["iter_s"]
+    result["pagerank_throughput"] = thr
+    spark.stop()
+
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        scaling = {}
+        for cores, key in ((8, "n"), (32, "4n")):
+            s = _session(cores)
+            r = pr_superstep_throughput(s, RMAT_SCALE, RMAT_DEG, PR_SUPERSTEPS)
+            scaling[f"cores_{key}"] = cores
+            scaling[f"edges_per_sec_{key}"] = r["edges_per_sec"]
+            s.stop()
+        scaling["efficiency"] = round(scaling["edges_per_sec_4n"] / scaling["edges_per_sec_n"] / 4.0, 3)
+        result["scaling"] = scaling
+
+    result["queries"] = queries
+    result["value"] = round(sum(queries.values()), 3)
+    result["unit"] = "sec"
+    result["metric"] = "total_headline_query_seconds"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

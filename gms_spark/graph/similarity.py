@@ -106,8 +106,11 @@ def link_prediction_topq(edges: DataFrame, q: int = 20, metric: str = "adamic_ad
         "jaccard_gms": "jaccard_gms",
         "resource_alloc": "resource_alloc",
     }[metric]
+    # Round BEFORE ranking: float sums reduce in different orders on
+    # different partitionings/engines; a 6-dp rank key + (a,b) tie-break
+    # makes the top-q deterministic and oracle-comparable.
     return (
-        scored.select("a", "b", F.col(col).alias("score"))
+        scored.select("a", "b", F.round(F.col(col), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
         .limit(q)
     )

@@ -36,7 +36,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = _toks(text_col)
     hit_cols = {
-        lang: F.size(F.filter(t, lambda x: x.isin(words))).alias(f"hits_{lang}")
+        lang: F.size(F.filter(t, lambda x: x.isin(words))).cast("long").alias(f"hits_{lang}")
         for lang, words in STOPWORDS.items()
     }
     d = docs.select("doc_id", *hit_cols.values())
@@ -56,9 +56,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = _toks(text_col)
     d = docs.select(
         "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_distinct"),
-        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).alias("total_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias("total_chars"),
     )
     return d.select(
         "doc_id",
@@ -83,9 +83,11 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = _toks(text_col)
     return docs.select(
         "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.length(text_col).alias("n_chars"),
-        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.ceil(F.length(x) / 4.0)).alias("est_subwords"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.ceil(F.length(x) / 4.0)).alias(
+            "est_subwords"
+        ),
     )
 
 

@@ -37,9 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-P61 = 2305843009213693951  # 2^61-1 (Mersenne); products of <2^31 values stay in int64
-PTOK = 2147483647  # 2^31-1 token-id modulus
-SHINGLE_BASE = 1000003
+PTOK = 2147483647  # 2^31-1 hash modulus: (a*s+b) products of <2^31 values stay in int64
 
 
 def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -49,52 +47,40 @@ def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).where(F.col("token") != "")
 
 
-def token_dict(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Dense token ids 1..V ordered lexicographically (deterministic).
+def shingle_strings(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh_str) — distinct word-k-gram strings, JVM-side only."""
+    a = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = F.when(
+        F.size(a) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(a, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(grams).alias("sh_str")).distinct()
 
-    Uses the distributed dense-id assigner (no single-partition window):
-    a web-scale vocabulary is itself a big table. Equals
-    ``dense_rank() over (order by token)`` because tokens are distinct —
-    which is exactly what the SQL oracles compute.
+
+def shingle_dict(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Dense shingle ids 1..V, lexicographic (== dense_rank() over sh_str).
+
+    Uses the distributed dense-id assigner (graph/build.py) — no
+    single-partition window; a web-scale shingle vocabulary is itself a
+    big table. Lexicographic order makes the dictionary independently
+    reproducible (the DuckDB oracles recompute it with dense_rank).
     """
     from gms_spark.graph.build import assign_dense_ids
 
-    toks = tokens(docs, text_col).select("token").distinct()
-    return assign_dense_ids(toks, [F.col("token").asc()]).select(
-        "token", (F.col("id") + 1).alias("token_id")
+    sh = shingle_strings(docs, k, text_col).select("sh_str").distinct()
+    return assign_dense_ids(sh, [F.col("sh_str").asc()]).select(
+        "sh_str", (F.col("id") + 1).alias("shingle")
     )
 
 
 def shingle_ids(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) — distinct word-k-gram ids.
-
-    shingle = ((t1*B + t2)*B + t3) mod 2^31-1 over dense token ids: pure
-    integer arithmetic, identical in any engine. Built entirely from
-    JVM-side functions (posexplode/join/collect/transform) — no UDF.
-    """
-    td = token_dict(docs, text_col)
-    tk = tokens(docs, text_col).join(td, "token").select("doc_id", "pos", "token_id")
-    arr = tk.groupBy("doc_id").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("pos", "token_id"))), lambda s: s["token_id"]).alias("ids")
+    """(doc_id, shingle: long) — distinct word-k-gram ids via the dict."""
+    return shingle_strings(docs, k, text_col).join(shingle_dict(docs, k, text_col), "sh_str").select(
+        "doc_id", "shingle"
     )
-    sh = arr.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("ids") - k, F.lit(-1))),
-                lambda i: sum_poly([F.element_at(F.col("ids"), i + j + 1) for j in range(k)]),
-            )
-        ).alias("shingle"),
-    )
-    return sh.distinct()
-
-
-def sum_poly(terms):
-    """((t1*B + t2)*B + t3) mod PTOK as a Column expression."""
-    acc = terms[0].cast("long")
-    for t in terms[1:]:
-        acc = (acc * SHINGLE_BASE + t.cast("long")) % PTOK
-    return acc
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,62 @@
+"""Embedding similarity-search tests on the driver's embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gms_spark.sim.ann import cosine_topk, cosine_topk_np, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def brute_topk(corpus_pdf, queries_pdf, k):
+    ids = corpus_pdf["vec_id"].to_numpy()
+    M = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    out = {}
+    for _, q in queries_pdf.iterrows():
+        v = np.asarray(q["qvec"], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        s = np.round(M @ v, 6)
+        order = np.lexsort((ids, -s))[:k]
+        out[q["query_id"]] = [(int(ids[i]), float(s[i])) for i in order]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, corpus, queries):
+    want = brute_topk(corpus.toPandas(), queries.toPandas(), k=5)
+    got = {}
+    for r in cosine_topk(corpus, queries, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    for qid, rows in got.items():
+        rows.sort()
+        assert [(v, pytest.approx(c, abs=2e-6)) for _, v, c in rows] == [
+            (v, pytest.approx(c, abs=2e-6)) for v, c in want[qid]
+        ]
+
+
+def test_cosine_topk_np_agrees_with_sql_path(corpus, queries):
+    a = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk(corpus, queries, k=5).collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk_np(corpus, queries, k=5).collect()}
+    assert a == b
+
+
+def test_lsh_topk_recall(corpus, queries):
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(corpus, queries, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in lsh_topk(corpus, queries, k=5, n_planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # 4 planes + full 1-bit multiprobe, deterministic seed
