@@ -421,16 +421,9 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    from gms_spark.sim.ann import _cos
+    from gms_spark.sim.ann import near_dup_np
 
-    e = _embeddings(spark, sf_dir).select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", F.round(_cos(F.col("va"), F.col("vb")), 6).alias("cos"))
-        .where(F.col("cos") >= 0.4)
-    )
+    return near_dup_np(_embeddings(spark, sf_dir), threshold=0.4)
 
 
 def _q_events_hourly(spark, sf_dir):

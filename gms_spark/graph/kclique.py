@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gms_spark.graph.build import adjacency, degree_rank, orient_by_rank
+from gms_spark.graph.build import adjacency
 
 
 def kclique_count(edges: DataFrame, k: int) -> int:
@@ -40,8 +40,9 @@ def kclique_count(edges: DataFrame, k: int) -> int:
     if k == 2:
         return edges.where(F.col("src") < F.col("dst")).count()
 
-    rank = degree_rank(edges)
-    dag = orient_by_rank(edges, rank)
+    from gms_spark.graph.triangles import orient_by_degree
+
+    dag = orient_by_degree(edges)
     adj = adjacency(dag).persist()
     adj.count()
 
@@ -63,10 +64,13 @@ def kclique_count(edges: DataFrame, k: int) -> int:
     )
     level = 2
     while level < k - 1:
-        # pick the next member w from cand, re-intersect with N+(w)
+        # Pick the next member w from cand, re-intersect with N+(w).
+        # cand ∩ N+(w) keeps only DAG-successors of w, so every clique is
+        # enumerated exactly once in DAG order — no explicit w-filter
+        # needed (and none would be valid: ids are original, DAG order is
+        # (degree, id)).
         frontier = (
             frontier.select(F.explode("cand").alias("w"), F.col("cand"))
-            .withColumn("cand", F.filter("cand", lambda x: x > F.col("w")))
             .join(adj.withColumnRenamed("src", "w"), "w", "inner")
             .select("cand", "neigh")
             .mapInPandas(intersect_stage, "cand array<long>")

@@ -1,0 +1,135 @@
+"""BFS, SSSP, and Jones–Plassmann coloring as superstep DataFrame loops.
+
+Reference semantics:
+  * BFS — direction-optimizing BFS (gms/representations/graphs/
+    log_graph/bfs.cc): we implement the logical result (hop distance /
+    parent tree is not pinned) as frontier expansion; Spark's shuffle IS
+    the "top-down" step, and the groupBy-min absorbs the "bottom-up"
+    optimization's purpose (hub frontiers partial-aggregate map-side).
+  * SSSP — delta-stepping (log_graph/sssp.cc:54+) relaxes buckets of
+    edges; the DataFrame analog is synchronous Bellman–Ford with a
+    changed-count stop: identical fixpoint (shortest distances), with
+    per-round work = one join + min-aggregate. Delta-stepping's bucket
+    trick is a shared-memory scheduling device; under bulk-synchronous
+    execution the natural round IS the bucket.
+  * Coloring — Jones–Plassmann (gms/algorithms/non_set_based/coloring/
+    coloring_jones_v1.h:17-70): per round, every uncolored vertex whose
+    seeded hash priority is a local maximum among uncolored neighbors
+    takes the smallest color unused by its colored neighbors.
+    Deterministic given the seed; verifier = no monochromatic edge
+    (coloring_common.h:28-203).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gms_spark.graph.build import vertices
+from gms_spark.runtime.superstep import iterate
+
+
+def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
+    """(vertex, dist) hop distances from source; unreachable omitted."""
+    spark = edges.sparkSession
+    dist0 = spark.createDataFrame([(source, 0)], "vertex long, dist long")
+
+    def step(dist: DataFrame, i: int):
+        frontier = dist.where(F.col("dist") == i)
+        cand = (
+            edges.join(frontier.withColumnRenamed("vertex", "src"), "src")
+            .select(F.col("dst").alias("vertex"), F.lit(i + 1).alias("dist"))
+            .distinct()
+            .join(dist.select("vertex"), "vertex", "left_anti")
+        )
+        new = dist.unionAll(cand)
+        return new, float(cand.count())
+
+    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="bfs")
+    return res.state
+
+
+def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
+    """(vertex, dist) shortest weighted distances (Bellman–Ford supersteps).
+
+    weighted_edges(src, dst, weight>=0); unreachable vertices omitted.
+    """
+    spark = weighted_edges.sparkSession
+    dist0 = spark.createDataFrame([(source, 0.0)], "vertex long, dist double")
+
+    def step(dist: DataFrame, i: int):
+        relax = (
+            weighted_edges.join(dist.withColumnRenamed("vertex", "src"), "src")
+            .select(F.col("dst").alias("vertex"), (F.col("dist") + F.col("weight")).alias("nd"))
+            .groupBy("vertex")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = dist.join(relax, "vertex", "full").select(
+            "vertex",
+            F.least(F.coalesce("dist", F.lit(float("inf"))), F.coalesce("nd", F.lit(float("inf")))).alias("dist"),
+        )
+        changed = (
+            merged.join(dist.select("vertex", F.col("dist").alias("old")), "vertex", "left")
+            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .count()
+        )
+        return merged, float(changed)
+
+    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="sssp")
+    return res.state
+
+
+@dataclass
+class ColoringResult:
+    colors: DataFrame  # (vertex, color)
+    rounds: int
+    n_colors: int
+
+
+def jones_plassmann(edges: DataFrame, seed: int = 27491095, max_iters: int = 500) -> ColoringResult:
+    """Greedy parallel coloring; deterministic via hash priorities."""
+    verts = vertices(edges)
+    state0 = verts.select(
+        "vertex", F.lit(None).cast("long").alias("color"), F.xxhash64("vertex", F.lit(seed)).alias("prio")
+    )
+
+    def step(state: DataFrame, i: int):
+        unc = state.where(F.col("color").isNull())
+        # neighbor info for uncolored vertices
+        nbr = edges.join(
+            state.select(F.col("vertex").alias("src"), F.col("color").alias("n_color"), F.col("prio").alias("n_prio")),
+            "src",
+        ).select(F.col("dst").alias("vertex"), "n_color", "n_prio")
+        agg = nbr.groupBy("vertex").agg(
+            F.max(F.when(F.col("n_color").isNull(), F.col("n_prio"))).alias("max_unc_prio"),
+            F.sort_array(F.collect_set("n_color")).alias("used"),
+        )
+        cand = (
+            unc.join(agg, "vertex", "left")
+            .where(F.col("max_unc_prio").isNull() | (F.col("prio") > F.col("max_unc_prio")))
+            .select(
+                "vertex",
+                F.coalesce(
+                    # smallest non-negative int not in `used`
+                    F.filter(
+                        F.sequence(F.lit(0), F.greatest(F.coalesce(F.size("used"), F.lit(0)), F.lit(0))),
+                        lambda c: ~F.array_contains(F.coalesce(F.col("used"), F.array().cast("array<long>")), c.cast("long")),
+                    ).getItem(0),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("new_color"),
+            )
+        )
+        new = state.join(cand, "vertex", "left").select(
+            "vertex", F.coalesce("color", "new_color").alias("color"), "prio"
+        )
+        remaining = new.where(F.col("color").isNull()).count()
+        return new, float(remaining)
+
+    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel="coloring")
+    colors = res.state.select("vertex", "color")
+    n_colors = colors.agg(F.countDistinct("color")).first()[0]
+    return ColoringResult(colors, res.iterations, int(n_colors))

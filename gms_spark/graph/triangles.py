@@ -30,29 +30,45 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gms_spark.graph.build import adjacency, degree_rank, orient_by_rank
+from gms_spark.graph.build import adjacency, degrees, vertices
 from gms_spark.graph.setops import intersect_count
 
 
-def _oriented_pairs(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(rank table, oriented-edge rows with both endpoint neighborhoods)."""
-    rank = degree_rank(edges)
-    dag = orient_by_rank(edges, rank)
-    adj = adjacency(dag).persist()
-    pairs = (
-        dag.join(adj.withColumnRenamed("neigh", "neigh_u"), "src")
-        .join(
-            adj.withColumnRenamed("src", "dst").withColumnRenamed("neigh", "neigh_v"),
-            "dst",
-            "inner",  # dst with no out-neighbors cannot close a triangle
-        )
+def orient_by_degree(edges: DataFrame) -> DataFrame:
+    """DAGify by (degree, id) WITHOUT computing dense ranks.
+
+    Orientation only needs a total order; (degree, vertex) lexicographic
+    comparison gives the same DAG as the dense degree-rank (identical
+    tie-break) while skipping the global rank assignment entirely — two
+    broadcast-or-shuffle joins and a filter, all Catalyst-planned.
+    Oriented edges keep ORIGINAL vertex ids (intersection kernels only
+    need set semantics, so id-sorted neighbor arrays are fine).
+    """
+    deg = degrees(edges)
+    d_src = deg.select(F.col("vertex").alias("src"), F.col("degree").alias("ds"))
+    d_dst = deg.select(F.col("vertex").alias("dst"), F.col("degree").alias("dd"))
+    return (
+        edges.join(d_src, "src")
+        .join(d_dst, "dst")
+        .where((F.col("ds") < F.col("dd")) | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))))
+        .select("src", "dst")
     )
-    return rank, pairs
+
+
+def _oriented_pairs(edges: DataFrame) -> DataFrame:
+    """Oriented-edge rows with both endpoint out-neighborhoods attached."""
+    dag = orient_by_degree(edges)
+    adj = adjacency(dag)
+    return dag.join(adj.withColumnRenamed("neigh", "neigh_u"), "src").join(
+        adj.withColumnRenamed("src", "dst").withColumnRenamed("neigh", "neigh_v"),
+        "dst",
+        "inner",  # dst with no out-neighbors cannot close a triangle
+    )
 
 
 def triangle_count_total(edges: DataFrame) -> int:
     """Total triangles in a simple undirected (symmetrized) graph."""
-    _, pairs = _oriented_pairs(edges)
+    pairs = _oriented_pairs(edges)
 
     def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,7 +84,7 @@ def triangle_count_total(edges: DataFrame) -> int:
 
 def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     """(vertex, count) with the reference's ×2 convention (vertex.h:14-49)."""
-    rank, pairs = _oriented_pairs(edges)
+    pairs = _oriented_pairs(edges)
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -82,12 +98,13 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
                     for w in ws:
                         w = int(w)
                         acc[w] = acc.get(w, 0) + 1
-            yield pd.DataFrame({"r": list(acc.keys()), "c": list(acc.values())}, dtype="int64")
+            yield pd.DataFrame({"vertex": list(acc.keys()), "c": list(acc.values())}, dtype="int64")
 
-    partials = pairs.select("src", "dst", "neigh_u", "neigh_v").mapInPandas(emit, "r long, c long")
-    per_rank = partials.groupBy("r").agg((F.sum("c") * 2).alias("count"))
-    # back to vertex-id space; vertices in no triangle get 0
+    partials = pairs.select("src", "dst", "neigh_u", "neigh_v").mapInPandas(emit, "vertex long, c long")
+    per_vertex = partials.groupBy("vertex").agg((F.sum("c") * 2).alias("count"))
+    # vertices in no triangle get 0
     return (
-        rank.join(per_rank, rank["rank"] == per_rank["r"], "left")
+        vertices(edges)
+        .join(per_vertex, "vertex", "left")
         .select("vertex", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
     )

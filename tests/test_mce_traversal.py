@@ -1,0 +1,115 @@
+"""MCE / BFS / SSSP / coloring tests vs independent python oracles."""
+
+from __future__ import annotations
+
+import heapq
+from itertools import combinations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gms_spark.graph.mce import maximal_cliques
+from gms_spark.graph.traversal import bfs, jones_plassmann, sssp
+
+from .oracles import load_el, neighbors, undirect
+
+GRAPHS = ["triangles_3.el", "smallRandom1.el", "eppsteinExample.el", "tomitaExample.el"]
+
+
+def brute_maximal_cliques(el):
+    """Oracle: BK without pivot over python sets (simple.h:13-60 shape)."""
+    adj = {u: set(v.tolist()) for u, v in neighbors(el).items()}
+    out = []
+
+    def bk2(R, P, X):
+        if not P and not X:
+            out.append(tuple(sorted(R)))
+            return
+        for v in sorted(P):
+            bk2(R | {v}, P & adj[v], X & adj[v])
+            P = P - {v}
+            X = X | {v}
+
+    bk2(set(), set(adj), set())
+    return sorted(set(out))
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_mce_matches_brute_force(name, edges_df_factory):
+    el = undirect(load_el(name))
+    got = sorted(tuple(r["clique"]) for r in maximal_cliques(edges_df_factory(el)).collect())
+    want = brute_maximal_cliques(el)
+    assert got == want, name
+
+
+def test_mce_properties(edges_df_factory):
+    el = undirect(load_el("eppsteinExample.el"))
+    adj = {u: set(v.tolist()) for u, v in neighbors(el).items()}
+    for r in maximal_cliques(edges_df_factory(el)).collect():
+        c = list(r["clique"])
+        for a, b in combinations(c, 2):  # is a clique
+            assert b in adj[a]
+        outside = set(adj) - set(c)  # is maximal
+        assert not any(all(x in adj[o] for x in c) for o in outside)
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_bfs(name, edges_df_factory):
+    el = undirect(load_el(name))
+    adj = neighbors(el)
+    src = min(adj)
+    # python BFS oracle
+    want, frontier, d = {src: 0}, [src], 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if int(v) not in want:
+                    want[int(v)] = d
+                    nxt.append(int(v))
+        frontier = nxt
+    got = {r["vertex"]: r["dist"] for r in bfs(edges_df_factory(el), src).collect()}
+    assert got == want, name
+
+
+def test_sssp(spark, edges_df_factory):
+    el = undirect(load_el("smallRandom1.el"))
+    from gms_spark.graph.generators import insert_weights
+
+    wdf = insert_weights(edges_df_factory(el))
+    w = {(r["src"], r["dst"]): r["weight"] for r in wdf.collect()}
+    adj: dict[int, list] = {}
+    for (u, v), wt in w.items():
+        adj.setdefault(u, []).append((v, wt))
+    # Dijkstra oracle
+    src = min(adj)
+    dist = {src: 0.0}
+    pq = [(0.0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, wt in adj.get(u, []):
+            nd = d + wt
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    got = {r["vertex"]: r["dist"] for r in sssp(wdf, src).collect()}
+    assert got.keys() == dist.keys()
+    for k in dist:
+        assert got[k] == pytest.approx(dist[k], abs=1e-9)
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_coloring_proper(name, edges_df_factory):
+    el = undirect(load_el(name))
+    res = jones_plassmann(edges_df_factory(el))
+    colors = {r["vertex"]: r["color"] for r in res.colors.collect()}
+    assert all(c is not None for c in colors.values())
+    for u, v in el:
+        assert colors[int(u)] != colors[int(v)], name
+    # bound: at most max-degree + 1 colors (greedy guarantee)
+    adj = neighbors(el)
+    assert res.n_colors <= max(len(v) for v in adj.values()) + 1
