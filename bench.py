@@ -71,21 +71,26 @@ def pr_superstep_throughput(spark, scale: int, deg: int, supersteps: int) -> dic
     damping, base = 0.85, 0.15 / n
     best = None
     for _trial in range(TRIALS):
-        scores = verts.select("vertex", F.lit(1.0 / n).alias("score")).localCheckpoint(eager=True)
+        # symmetrized graph → every vertex has in-edges → groupBy(dst)
+        # covers all vertices (no fill-join); persist keeps partitioning
+        # metadata so the scores side of the next join stays in place.
+        scores = verts.select("vertex", F.lit(1.0 / n).alias("score")).persist()
+        scores.count()
         t1 = time.time()
+        live = [scores]
         for _ in range(supersteps):
-            sums = (
+            scores = (
                 scores.withColumnRenamed("vertex", "src")
                 .join(ew, "src")
                 .groupBy(F.col("dst").alias("vertex"))
-                .agg(F.sum(F.col("score") * F.col("w")).alias("s"))
+                .agg((F.lit(base) + damping * F.sum(F.col("score") * F.col("w"))).alias("score"))
+                .persist()
             )
-            scores = (
-                verts.join(sums, "vertex", "left")
-                .select("vertex", (F.lit(base) + damping * F.coalesce("s", F.lit(0.0))).alias("score"))
-                .localCheckpoint(eager=True)
-            )
+            scores.count()
+            live.append(scores)
         iter_s = time.time() - t1
+        for df in live:
+            df.unpersist()
         if best is None or iter_s < best:
             best = iter_s
     und.unpersist()

@@ -1,0 +1,86 @@
+"""Link-prediction evaluation: deterministic split, precision, AUC.
+
+Reference semantics (gms/algorithms/set_based/link_prediction/
+evaluation.h:32-200): hide a fraction of edges (test positives), score
+candidates on the remaining graph, measure (a) precision@q — how many of
+the top-q predicted non-edges are hidden true edges (evaluation.h:100-124)
+— and (b) AUC by comparing scores of sampled true-hidden vs false
+non-edges (evaluation.h:137-174).
+
+Differences made deterministic for a distributed setting: the reference
+samples with a stateful RNG (edge_sampler.h:24-155); we split by
+xxhash64(src, dst, seed) threshold — order- and partition-independent —
+and compute AUC exactly over the full cartesian of (hidden × sampled
+negatives) score pairs instead of Monte-Carlo trials.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gms_spark.graph.build import build_undirected
+from gms_spark.graph.similarity import link_prediction_topq, vertex_similarity
+
+
+def split_edges(edges: DataFrame, test_frac: float = 0.2, seed: int = 7) -> tuple[DataFrame, DataFrame]:
+    """(train, test) split of undirected edges; both halves canonical a<b.
+
+    Hash-threshold split: deterministic under any partitioning (the
+    distributed replacement for the reference's RNG edge sampler).
+    """
+    half = edges.where(F.col("src") < F.col("dst"))
+    cut = int(test_frac * (1 << 31))
+    h = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1 << 31))
+    test = half.where(h < cut)
+    train = half.where(h >= cut)
+    return train, test
+
+
+@dataclass
+class LPEvalResult:
+    precision_at_q: float
+    auc: float
+    q: int
+    n_test: int
+
+
+def evaluate_link_prediction(
+    edges: DataFrame, q: int = 50, test_frac: float = 0.2, seed: int = 7, metric: str = "adamic_adar"
+) -> LPEvalResult:
+    """Hide test_frac of edges, predict from the rest, score the predictions."""
+    train_half, test_half = split_edges(edges, test_frac, seed)
+    train = build_undirected(train_half)  # re-symmetrize the kept half
+    n_test = test_half.count()
+
+    top = link_prediction_topq(train, q=q, metric=metric)
+    hits = top.join(test_half.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_semi").count()
+    precision = hits / q if q else 0.0
+
+    # AUC: P(score(hidden positive) > score(random negative)) + 0.5 ties.
+    # Negatives: 2-hop non-edges of the train graph that are also not
+    # hidden positives, downsampled deterministically.
+    e1 = train.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    e2 = train.select(F.col("dst").alias("b"), F.col("src").alias("w"))
+    cands = (
+        e1.join(e2, "w")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .join(train.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_anti")
+    )
+    pos = cands.join(test_half.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_semi")
+    neg = cands.join(test_half.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_anti")
+    neg = neg.where(F.pmod(F.xxhash64("a", "b", F.lit(seed + 1)), 4) == 0)  # deterministic 25% sample
+
+    col = {"adamic_adar": "adamic_adar", "common_neighbors": "common_neighbors", "jaccard_gms": "jaccard_gms"}[metric]
+    ps = vertex_similarity(train, pos).select(F.col(col).alias("sp"))
+    ns = vertex_similarity(train, neg).select(F.col(col).alias("sn"))
+    counts = ps.crossJoin(ns).select(
+        F.sum(F.when(F.col("sp") > F.col("sn"), 1.0).when(F.col("sp") == F.col("sn"), 0.5).otherwise(0.0)).alias("w"),
+        F.count("*").alias("n"),
+    ).first()
+    auc = float(counts["w"] / counts["n"]) if counts["n"] else 0.5
+    return LPEvalResult(precision, auc, q, n_test)

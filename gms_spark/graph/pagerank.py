@@ -81,6 +81,14 @@ def pagerank(
 
     dang = verts.join(deg, "vertex", "left_anti").persist() if n_dangling else None
 
+    # If every vertex receives at least one in-edge (always true for a
+    # symmetrized graph with no dangling vertices), groupBy(dst) already
+    # yields a row per vertex and the per-superstep fill-join against the
+    # vertex table can be skipped — one shuffle less per iteration.
+    full_in_coverage = (
+        n_dangling == 0 and edges.select(F.col("dst").alias("vertex")).distinct().count() == n
+    )
+
     base = (1.0 - damping) / n
     scores0 = verts.select("vertex", F.lit(1.0 / n).alias("score"))
 
@@ -110,13 +118,13 @@ def pagerank(
             dmass = scores.join(dang, "vertex", "left_semi").agg(F.sum("score")).first()[0] or 0.0
             extra = damping * dmass / n
 
-        new = (
-            verts.join(sums, "vertex", "left")
-            .select(
+        if full_in_coverage:
+            new = sums.select("vertex", (F.lit(base + extra) + F.lit(damping) * F.col("s")).alias("score"))
+        else:
+            new = verts.join(sums, "vertex", "left").select(
                 "vertex",
                 (F.lit(base + extra) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("score"),
             )
-        )
         if fixed_iters is not None:
             return new, float("inf")
         delta = (

@@ -60,6 +60,7 @@ def iterate(
     kernel: str = "kernel",
     run_id: str | None = None,
     lineage_detail: bool = True,
+    truncate_every: int = 6,
 ) -> SuperstepResult:
     """Run ``step(state, i) -> (new_state, delta)`` until delta <= tol.
 
@@ -120,9 +121,17 @@ def iterate(
             state.unpersist()
             state = committed
         else:
-            # No durable checkpoint requested: still truncate the plan so
-            # iteration depth stays O(1).
-            new_state = new_state.localCheckpoint(eager=True)
+            # No durable checkpoint: persist each step (keeps Catalyst's
+            # outputPartitioning metadata, so the next superstep's joins
+            # on the same key need NO extra shuffle) and hard-truncate the
+            # plan only every `truncate_every` steps — localCheckpoint
+            # erases partitioning info, which would force a reshuffle of
+            # the state side every superstep.
+            if truncate_every > 0 and (i + 1) % truncate_every == 0:
+                new_state = new_state.localCheckpoint(eager=True)
+            else:
+                new_state = new_state.persist()
+                new_state.count()
             state.unpersist()
             state = new_state
         deltas.append(float(delta))

@@ -17,16 +17,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _agg(df: DataFrame, size: str, keys: list[str]):
-    return (
-        df.groupBy(F.window("ts", size).alias("w"), *keys)
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "sum_value", "n_users")
+def _agg(df: DataFrame, size: str, keys: list[str], streaming: bool = False):
+    # Structured Streaming forbids exact distinct aggregation (state would
+    # be unbounded); the streaming twin uses HyperLogLog and says so in
+    # the column name.
+    users = (
+        F.approx_count_distinct("user_id").alias("approx_n_users")
+        if streaming
+        else F.countDistinct("user_id").alias("n_users")
     )
+    out = df.groupBy(F.window("ts", size).alias("w"), *keys).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        users,
+    )
+    return out.select(F.col("w.start").alias("window_start"), *keys, "n_events", "sum_value", out.columns[-1])
 
 
 def tumbling_agg(events: DataFrame, size: str = "1 hour", keys: list[str] | None = None) -> DataFrame:
@@ -42,4 +47,6 @@ def stream_tumbling_agg(
     Usage: spark.readStream... → stream_tumbling_agg → writeStream
     (append mode; windows finalize once the watermark passes them).
     """
-    return _agg(stream.withWatermark("ts", watermark), size, keys if keys is not None else ["event_type"])
+    return _agg(
+        stream.withWatermark("ts", watermark), size, keys if keys is not None else ["event_type"], streaming=True
+    )
