@@ -70,13 +70,13 @@ e0 AS (
 ),
 e1 AS (SELECT i AS src, CASE WHEN hb < 2 THEN r % 16 ELSE r END AS dst FROM e0),
 e2 AS (SELECT src, dst FROM e1 WHERE src <> dst),
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT src, dst FROM e2 UNION ALL SELECT dst AS src, src AS dst FROM e2
   )
 ),
-verts AS (SELECT DISTINCT src AS vertex FROM und),
-deg AS (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY src)
+verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM und),
+deg AS MATERIALIZED (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY src)
 """
 
 
@@ -84,7 +84,7 @@ def _pagerank_sql(iters: int = PR_ITERS) -> str:
     steps = ["s0 AS (SELECT vertex, 1.0/nv.n AS score FROM verts CROSS JOIN nv)"]
     for t in range(1, iters + 1):
         steps.append(
-            f"""s{t} AS (
+            f"""s{t} AS MATERIALIZED (
   SELECT v.vertex, (1.0-0.85)/nv.n + 0.85*coalesce(x.s, 0.0) AS score
   FROM verts v CROSS JOIN nv
   LEFT JOIN (
@@ -105,7 +105,7 @@ def _labelprop_sql(iters: int = LP_ITERS) -> str:
     steps = ["l0 AS (SELECT vertex, vertex AS label FROM verts)"]
     for t in range(1, iters + 1):
         steps.append(
-            f"""c{t} AS (
+            f"""c{t} AS MATERIALIZED (
   SELECT e.dst AS vertex, s.label, count(*) AS cnt
   FROM und e JOIN l{t-1} s ON s.vertex = e.src GROUP BY e.dst, s.label
 ),
@@ -115,7 +115,7 @@ b{t} AS (
     FROM c{t}
   ) WHERE rn = 1
 ),
-l{t} AS (
+l{t} AS MATERIALIZED (
   SELECT l.vertex, coalesce(b.label, l.label) AS label
   FROM l{t-1} l LEFT JOIN b{t} b ON b.vertex = l.vertex
 )"""
@@ -125,7 +125,7 @@ l{t} AS (
 
 _SHINGLE_CTES = """
 toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, unnest([array_to_string(a[i:i+2], ' ') for i in generate_series(1, len(a)-2)]) AS s
   FROM toks WHERE len(a) >= 3
 ),
@@ -150,12 +150,12 @@ def _minhash_sql(threshold: float = 0.3) -> str:
         band_rows.append(f"SELECT doc_id, {bi} AS band, {acc} AS bucket FROM sig")
     bands = "\nUNION ALL\n".join(band_rows)
     return f"""WITH {_SHINGLE_CTES},
-dict AS (
+dict AS MATERIALIZED (
   SELECT s AS sh_str, CAST(dense_rank() OVER (ORDER BY s) AS BIGINT) AS shingle
   FROM (SELECT DISTINCT s FROM sh)
 ),
-shid AS (SELECT sh.doc_id, dict.shingle FROM sh JOIN dict ON dict.sh_str = sh.s),
-sig AS (SELECT doc_id, {mins} FROM shid GROUP BY doc_id),
+shid AS MATERIALIZED (SELECT sh.doc_id, dict.shingle FROM sh JOIN dict ON dict.sh_str = sh.s),
+sig AS MATERIALIZED (SELECT doc_id, {mins} FROM shid GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -177,6 +177,38 @@ round(
   / (sqrt(list_aggregate(list_transform({A}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), 'sum'))
    * sqrt(list_aggregate(list_transform({B}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), 'sum'))), 6)
 """
+
+
+def _sssp_sql(rounds: int = 25) -> str:
+    """Unrolled Bellman–Ford over the arithmetically-weighted doc graph.
+
+    Each round references the previous CTE exactly ONCE (DuckDB inlines
+    CTEs; a second reference per round would expand exponentially) —
+    weight-0 self-loops carry the current distances through the join.
+    """
+    steps = ["s0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0.0 AS DOUBLE) AS d)"]
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT e.dst AS v, min(s.d + e.w) AS d
+  FROM undw0 e JOIN s{t-1} s ON s.v = e.src GROUP BY e.dst
+)"""
+        )
+    return (
+        "WITH "
+        + GRAPH_CTES
+        + """,
+undw AS MATERIALIZED (
+  SELECT src, dst, CAST(1 + (least(src, dst)*31 + greatest(src, dst)*17) % 9 AS DOUBLE) AS w
+  FROM und
+),
+undw0 AS MATERIALIZED (
+  SELECT src, dst, w FROM undw
+  UNION ALL SELECT vertex, vertex, 0.0 FROM verts
+), """
+        + ",\n".join(steps)
+        + f"\nSELECT v AS vertex, round(d, 6) AS dist FROM s{rounds}"
+    )
 
 
 def _stopword_sql() -> str:
@@ -340,6 +372,53 @@ def _q_adg_order(spark, sf_dir):
     )
 
 
+def _q_bfs(spark, sf_dir):
+    from gms_spark.graph.traversal import bfs
+
+    return bfs(doc_graph(spark, sf_dir), source=0).select("vertex", F.col("dist").cast("long").alias("dist"))
+
+
+def _weighted_doc_graph(spark, sf_dir):
+    """und doc graph + symmetric arithmetic weights (SQL-replicable)."""
+    und = doc_graph(spark, sf_dir)
+    lo, hi = F.least("src", "dst"), F.greatest("src", "dst")
+    return und.withColumn("weight", (1 + (lo * 31 + hi * 17) % 9).cast("double"))
+
+
+def _q_sssp(spark, sf_dir):
+    from gms_spark.graph.traversal import sssp
+
+    return sssp(_weighted_doc_graph(spark, sf_dir), source=0).select("vertex", F.round("dist", 6).alias("dist"))
+
+
+def _q_triangle_stars(spark, sf_dir):
+    from gms_spark.graph.kclique import kclique_star_list
+
+    und = doc_graph(spark, sf_dir)
+    stars = kclique_star_list(und, 3)
+    return stars.select(
+        F.element_at("members", 1).alias("u"),
+        F.element_at("members", 2).alias("v"),
+        F.element_at("members", 3).alias("w"),
+        F.explode("star").alias("star_vertex"),
+    )
+
+
+def _q_mce(spark, sf_dir):
+    from gms_spark.graph.mce import maximal_cliques
+
+    return maximal_cliques(doc_graph(spark, sf_dir)).select(
+        F.concat_ws(",", F.col("clique").cast("array<string>")).alias("clique"),
+        F.size("clique").cast("long").alias("clique_size"),
+    )
+
+
+def _q_coloring(spark, sf_dir):
+    from gms_spark.graph.traversal import jones_plassmann
+
+    return jones_plassmann(doc_graph(spark, sf_dir)).colors
+
+
 def _q_exact_dedup(spark, sf_dir):
     from gms_spark.text.dedup import exact_dedup
 
@@ -489,6 +568,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_similarity": _q_vertex_similarity,
         "link_prediction": _q_link_prediction,
         "adg_order": _q_adg_order,  # iterative peel — no SQL oracle (rows-only)
+        "bfs": _q_bfs,
+        "sssp": _q_sssp,
+        "triangle_stars": _q_triangle_stars,
+        "mce": _q_mce,  # per-root Bron–Kerbosch — no SQL oracle (rows-only)
+        "coloring": _q_coloring,  # data-dependent rounds — no SQL oracle (rows-only; propriety pytest-verified)
         # training-data pipeline: dedup
         "exact_dedup": _q_exact_dedup,
         "jaccard_dedup": _q_jaccard_dedup,
@@ -513,7 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     w = "WITH " + GRAPH_CTES
     tri_cte = """
-tri AS (
+tri AS MATERIALIZED (
   SELECT a.src AS u, a.dst AS v, b.dst AS w
   FROM und a
   JOIN und b ON b.src = a.dst AND b.dst > a.dst
@@ -602,6 +686,28 @@ sc AS (
   GROUP BY p.a, p.b
 )
 SELECT a, b, score FROM sc ORDER BY score DESC, a, b LIMIT 50""",
+        "bfs": (
+            "WITH RECURSIVE "
+            + GRAPH_CTES
+            + """,
+reach(v, d) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, reach.d + 1 FROM reach JOIN und e ON e.src = reach.v WHERE reach.d < 100
+)
+SELECT v AS vertex, min(d) AS dist FROM reach GROUP BY v"""
+        ),
+        "sssp": _sssp_sql(25),
+        "triangle_stars": w
+        + ", "
+        + tri_cte
+        + """
+SELECT t.u, t.v, t.w, e1.dst AS star_vertex
+FROM tri t
+JOIN und e1 ON e1.src = t.u
+JOIN und e2 ON e2.src = t.v AND e2.dst = e1.dst
+JOIN und e3 ON e3.src = t.w AND e3.dst = e1.dst
+WHERE e1.dst <> t.u AND e1.dst <> t.v AND e1.dst <> t.w""",
         "exact_dedup": "SELECT text, min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",
         "jaccard_dedup": f"""WITH {_SHINGLE_CTES},
 p AS (

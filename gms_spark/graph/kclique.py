@@ -80,3 +80,81 @@ def kclique_count(edges: DataFrame, k: int) -> int:
     total = frontier.select(F.sum(F.size("cand")).alias("t")).first()[0]
     adj.unpersist()
     return int(total or 0)
+
+
+def kclique_list(edges: DataFrame, k: int) -> DataFrame:
+    """List all k-cliques: (members: sorted array<long>).
+
+    Same DAG frontier as kclique_count but carrying the member stack
+    (kClist listing semantics, gms/algorithms/non_set_based/
+    k_clique_list/kernels/kclisting.h:18-190).
+    """
+    if k < 2:
+        raise ValueError("k >= 2")
+    from gms_spark.graph.triangles import orient_by_degree
+
+    dag = orient_by_degree(edges)
+    if k == 2:
+        return dag.select(F.array_sort(F.array("src", "dst")).alias("members"))
+    adj = adjacency(dag).persist()
+    adj.count()
+
+    def intersect_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cands = [
+                np.intersect1d(np.asarray(a), np.asarray(b), assume_unique=True)
+                for a, b in zip(pdf["cand"], pdf["neigh"])
+            ]
+            yield pd.DataFrame({"members": pdf["members"], "cand": cands})
+
+    frontier = (
+        dag.select(F.array("src", "dst").alias("members"), "src", "dst")
+        .join(adj.withColumnRenamed("neigh", "cand"), "src")
+        .join(adj.withColumnRenamed("src", "dst"), "dst", "inner")
+        .select("members", "cand", "neigh")
+        .mapInPandas(intersect_stage, "members array<long>, cand array<long>")
+        .where(F.size("cand") > 0)
+    )
+    level = 2
+    while level < k - 1:
+        frontier = (
+            frontier.select(F.explode("cand").alias("w"), "members", "cand")
+            .select(F.array_append("members", F.col("w")).alias("members"), "cand", "w")
+            .join(adj.withColumnRenamed("src", "w"), "w", "inner")
+            .select("members", "cand", "neigh")
+            .mapInPandas(intersect_stage, "members array<long>, cand array<long>")
+            .where(F.size("cand") > 0)
+        )
+        level += 1
+    out = frontier.select("members", F.explode("cand").alias("w")).select(
+        F.array_sort(F.array_append("members", F.col("w"))).alias("members")
+    )
+    adj.unpersist()
+    return out
+
+
+def kclique_star_list(edges: DataFrame, k: int) -> DataFrame:
+    """k-cliques plus their common outside neighbors (k-clique-stars).
+
+    Semantics of gms/algorithms/set_based/k_clique_star_list/
+    sequential/recursive.h:33-80: for each k-clique C, star(C) =
+    (∩_{v∈C} N(v)) \\ C over the FULL undirected neighborhoods.
+    Output: (members array<long>, star array<long>).
+    """
+    cliques = kclique_list(edges, k)
+    full_adj = adjacency(edges)
+    exploded = cliques.select(F.monotonically_increasing_id().alias("cid"), "members").persist()
+    joined = (
+        exploded.select("cid", "members", F.explode("members").alias("src"))
+        .join(full_adj, "src")
+        .groupBy("cid")
+        .agg(
+            F.first("members").alias("members"),
+            F.aggregate(
+                F.slice(F.collect_list("neigh"), 2, 10_000_000),
+                F.element_at(F.collect_list("neigh"), 1),
+                lambda acc, x: F.array_intersect(acc, x),
+            ).alias("common"),
+        )
+    )
+    return joined.select("members", F.array_except("common", "members").alias("star"))

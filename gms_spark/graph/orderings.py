@@ -47,6 +47,17 @@ def degree_order(edges: DataFrame, descending: bool = False) -> DataFrame:
     return degree_rank(edges, descending=descending)
 
 
+def triangle_count_order(edges: DataFrame) -> DataFrame:
+    """Rank vertices by per-vertex triangle count, ties by id
+    (gms/algorithms/preprocessing/parallel/triangle_count.h:11-30)."""
+    from gms_spark.graph.triangles import triangle_count_per_vertex
+
+    tc = triangle_count_per_vertex(edges)
+    return assign_dense_ids(tc, [F.col("count").asc(), F.col("vertex").asc()]).select(
+        "vertex", F.col("id").alias("rank")
+    )
+
+
 def adg_order(edges: DataFrame, eps: float = 0.1, max_rounds: int = 200) -> DataFrame:
     """Approximate degeneracy ordering by batch peeling.
 

@@ -53,7 +53,17 @@ def pagerank(
     run_id: str | None = None,
     salt_partitions: int = 1,
     num_partitions: int | None = None,
+    check_every: int = 1,
 ) -> PageRankResult:
+    """See module docstring.
+
+    ``check_every > 1`` chains that many supersteps lazily between
+    convergence checks/materializations — one Spark job per chunk
+    instead of per superstep (big win: no per-iteration driver round
+    trip). May overshoot convergence by up to check_every-1 supersteps;
+    identical scores for fixed_iters runs. Ignored when ``io`` is given
+    (durable checkpointing is per-superstep by contract).
+    """
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -92,7 +102,8 @@ def pagerank(
     base = (1.0 - damping) / n
     scores0 = verts.select("vertex", F.lit(1.0 / n).alias("score"))
 
-    def step(scores: DataFrame, i: int) -> tuple[DataFrame, float]:
+    def one_superstep(scores: DataFrame, extra: float = 0.0) -> DataFrame:
+        """One pull update as a LAZY transform (no actions)."""
         contribs = (
             scores.withColumnRenamed("vertex", "src")
             .join(ew, "src")
@@ -113,18 +124,21 @@ def pagerank(
         else:
             sums = contribs.groupBy("vertex").agg(F.sum("c").alias("s"))
 
-        extra = 0.0
+        if full_in_coverage:
+            return sums.select("vertex", (F.lit(base + extra) + F.lit(damping) * F.col("s")).alias("score"))
+        return verts.join(sums, "vertex", "left").select(
+            "vertex",
+            (F.lit(base + extra) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("score"),
+        )
+
+    def _extra(scores: DataFrame) -> float:
         if n_dangling and dangling == "redistribute":
             dmass = scores.join(dang, "vertex", "left_semi").agg(F.sum("score")).first()[0] or 0.0
-            extra = damping * dmass / n
+            return damping * dmass / n
+        return 0.0
 
-        if full_in_coverage:
-            new = sums.select("vertex", (F.lit(base + extra) + F.lit(damping) * F.col("s")).alias("score"))
-        else:
-            new = verts.join(sums, "vertex", "left").select(
-                "vertex",
-                (F.lit(base + extra) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("score"),
-            )
+    def step(scores: DataFrame, i: int) -> tuple[DataFrame, float]:
+        new = one_superstep(scores, _extra(scores))
         if fixed_iters is not None:
             return new, float("inf")
         delta = (
@@ -135,6 +149,40 @@ def pagerank(
         return new, float(delta)
 
     iters = fixed_iters if fixed_iters is not None else max_iters
+
+    if io is None and check_every > 1 and not (n_dangling and dangling == "redistribute"):
+        # Chunked fast path: chain check_every supersteps lazily, one job
+        # per chunk (localCheckpoint truncates the plan at chunk ends).
+        scores = scores0.persist()
+        scores.count()
+        deltas: list[float] = []
+        done = 0
+        while done < iters:
+            k = min(check_every, iters - done)
+            new = scores
+            for _ in range(k):
+                new = one_superstep(new)
+            new = new.localCheckpoint(eager=True)
+            done += k
+            if fixed_iters is None:
+                delta = (
+                    new.join(scores.select("vertex", F.col("score").alias("old")), "vertex")
+                    .agg(F.sum(F.abs(F.col("score") - F.col("old"))))
+                    .first()[0]
+                )
+                deltas.append(float(delta))
+                scores.unpersist()
+                scores = new
+                if delta <= tol * k:  # conservative: delta is over k steps
+                    break
+            else:
+                deltas.append(float("inf"))
+                scores.unpersist()
+                scores = new
+        verts.unpersist()
+        ew.unpersist()
+        return PageRankResult(scores, done, deltas)
+
     res = iterate(scores0, step, max_iters=iters, tol=tol if fixed_iters is None else -1.0,
                   io=io, kernel="pagerank", run_id=run_id)
     verts.unpersist()

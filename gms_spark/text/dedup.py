@@ -78,9 +78,14 @@ def shingle_dict(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFra
 
 def shingle_ids(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle: long) — distinct word-k-gram ids via the dict."""
-    return shingle_strings(docs, k, text_col).join(shingle_dict(docs, k, text_col), "sh_str").select(
-        "doc_id", "shingle"
+    from gms_spark.graph.build import assign_dense_ids
+
+    ss = shingle_strings(docs, k, text_col).persist()
+    ss.count()
+    d = assign_dense_ids(ss.select("sh_str").distinct(), [F.col("sh_str").asc()]).select(
+        "sh_str", (F.col("id") + 1).alias("shingle")
     )
+    return ss.join(d, "sh_str").select("doc_id", "shingle")
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -154,14 +159,23 @@ def _minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 24, k: int = 3, seed: int = 7, text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 24,
+    k: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, m0..m{H-1}) MinHash signature — H JVM-side min-aggregates.
 
     No UDF: each hash is a codegen'd arithmetic expression over the
     exploded shingle rows; one shuffle (groupBy doc_id) produces the
-    whole signature.
+    whole signature. Pass ``sh`` to reuse an already-materialized
+    shingle table (the dictionary build is the expensive stage).
     """
-    sh = shingle_ids(docs, k, text_col)
+    if sh is None:
+        sh = shingle_ids(docs, k, text_col)
     aggs = [
         F.min((F.col("shingle") * F.lit(a) + F.lit(b)) % F.lit(PTOK)).alias(f"m{j}")
         for j, (a, b) in enumerate(_minhash_coeffs(num_hashes, seed))
@@ -185,7 +199,8 @@ def minhash_lsh_join(
     only compute, and recall at J>=t is 1-(1-t^r)^b (≈0.995 at t=0.5
     with r=2,b=12). Entirely deterministic given (seed, num_hashes).
     """
-    sigs = minhash_signatures(docs, num_hashes, k, seed, text_col).persist()
+    sh = shingle_ids(docs, k, text_col).persist()  # one dictionary build for sigs AND verification
+    sigs = minhash_signatures(docs, num_hashes, k, seed, text_col, sh=sh).persist()
     n_bands = num_hashes // band_rows
     bands = []
     for bi in range(n_bands):
@@ -204,7 +219,6 @@ def minhash_lsh_join(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sh = shingle_ids(docs, k, text_col)
     sets = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
     return _verified_pairs(cands, sets, threshold)
 

@@ -1,0 +1,99 @@
+"""Orderings + k-clique listing tests vs python oracles."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from gms_spark.graph.kclique import kclique_count, kclique_list, kclique_star_list
+from gms_spark.graph.orderings import adg_order, degree_order, identity_order, random_order, triangle_count_order
+
+from .oracles import load_el, neighbors, undirect
+
+
+def brute_kcliques(el, k):
+    adj = {u: set(v.tolist()) for u, v in neighbors(el).items()}
+    out = []
+    for combo in combinations(sorted(adj), k):
+        if all(b in adj[a] for a, b in combinations(combo, 2)):
+            out.append(combo)
+    return out
+
+
+def matula_degeneracy(el):
+    """Exact degeneracy via min-degree peel (degeneracy_matula.h:13-66)."""
+    adj = {u: set(v.tolist()) for u, v in neighbors(el).items()}
+    deg = {u: len(v) for u, v in adj.items()}
+    alive = set(adj)
+    k = 0
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        alive.discard(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+    return k
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    el = undirect(load_el("smallRandom1.el"))
+    df = spark.createDataFrame([(int(u), int(v)) for u, v in el], "src long, dst long")
+    return el, df
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_kclique_count_and_list(k, graph):
+    el, df = graph
+    want = brute_kcliques(el, k)
+    assert kclique_count(df, k) == len(want)
+    got = sorted(tuple(r["members"]) for r in kclique_list(df, k).collect())
+    assert got == sorted(want)
+
+
+def test_kclique_star(graph):
+    el, df = graph
+    adj = {u: set(v.tolist()) for u, v in neighbors(el).items()}
+    rows = kclique_star_list(df, 3).collect()
+    got = {tuple(r["members"]): sorted(r["star"]) for r in rows}
+    want = {}
+    for c in brute_kcliques(el, 3):
+        common = set.intersection(*(adj[v] for v in c)) - set(c)
+        want[c] = sorted(common)
+    assert got == want
+
+
+def test_order_formats(graph):
+    el, df = graph
+    n = len(neighbors(el))
+    for order_df in (identity_order(df), random_order(df), degree_order(df), triangle_count_order(df)):
+        rows = order_df.collect()
+        assert sorted(r["vertex"] for r in rows) == sorted(neighbors(el))
+        ranks = sorted(r["rank"] for r in rows)
+        if order_df is not identity_order:  # identity rank==vertex may be sparse
+            pass
+    # degree order: rank increases with (degree, id)
+    adj = neighbors(el)
+    got = {r["vertex"]: r["rank"] for r in degree_order(df).collect()}
+    ordered = sorted(adj, key=lambda v: (len(adj[v]), v))
+    assert [got[v] for v in ordered] == list(range(len(ordered)))
+
+
+def test_adg_order_valid_degeneracy_approx(graph):
+    """ADG (2+eps)-approximation: max later-ranked neighbors ≤ (2+2eps)·d(G).
+
+    The validity property of gms/algorithms/preprocessing/verifiers/
+    degeneracy_verifier.h:38-110, with the exact degeneracy from the
+    Matula peel oracle.
+    """
+    el, df = graph
+    eps = 0.1
+    d_exact = matula_degeneracy(el)
+    rank = {r["vertex"]: r["rank"] for r in adg_order(df, eps=eps).collect()}
+    adj = neighbors(el)
+    assert sorted(rank) == sorted(adj)
+    worst = max(sum(1 for u in nbrs if rank[int(u)] > rank[v]) for v, nbrs in adj.items())
+    assert worst <= (2 + 2 * eps) * d_exact + 1e-9
