@@ -270,7 +270,7 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = docs.select("doc_id", "text").mapInPandas(build_html, "url string, html binary")
     url_dict, edges = edges_from_pages(pages)
     und = build_undirected(edges)
-    res = pagerank(und, tol=1e-6, max_iters=100)
+    res = pagerank(und, tol=1e-6, max_iters=100, check_every=5)
     return res.scores.join(url_dict.select(F.col("id").alias("vertex"), "url"), "vertex").select(
         "url", "vertex", F.round("score", 8).alias("score")
     )
@@ -283,14 +283,14 @@ def _q_pagerank(spark, sf_dir):
     from gms_spark.graph.pagerank import pagerank
 
     und = doc_graph(spark, sf_dir)
-    res = pagerank(und, fixed_iters=PR_ITERS)
+    res = pagerank(und, fixed_iters=PR_ITERS, check_every=PR_ITERS)
     return res.scores.select("vertex", F.round("score", 8).alias("score"))
 
 
 def _q_pagerank_converged(spark, sf_dir):
     from gms_spark.graph.pagerank import pagerank
 
-    res = pagerank(doc_graph(spark, sf_dir), tol=1e-6, max_iters=100)
+    res = pagerank(doc_graph(spark, sf_dir), tol=1e-6, max_iters=100, check_every=5)
     return res.scores.select("vertex", F.round("score", 8).alias("score"))
 
 

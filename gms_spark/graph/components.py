@@ -43,11 +43,19 @@ def connected_components(
     compress: bool = True,
     io: TableIO | None = None,
     run_id: str | None = None,
+    check_every: int = 3,
 ) -> ComponentsResult:
+    """See module docstring.
+
+    ``check_every > 1`` (no-checkpoint runs only) chains that many
+    min-exchange+compress rounds lazily per Spark job and tests the
+    changed-count once per chunk. Correct because labels are monotone
+    non-increasing: a chunk with zero changes proves the fixpoint.
+    """
     verts = vertices(edges)
     labels0 = verts.select("vertex", F.col("vertex").alias("component"))
 
-    def step(labels: DataFrame, i: int) -> tuple[DataFrame, float]:
+    def one_round(labels: DataFrame) -> DataFrame:
         cand = (
             edges.join(labels.withColumnRenamed("vertex", "src"), "src")
             .groupBy(F.col("dst").alias("vertex"))
@@ -62,12 +70,36 @@ def connected_components(
             new = new.join(parent, "component", "left").select(
                 "vertex", F.coalesce(F.col("grand"), F.col("component")).alias("component")
             )
-        changed = (
-            new.join(labels.select("vertex", F.col("component").alias("old")), "vertex")
+        return new
+
+    def changed_count(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.join(old.select("vertex", F.col("component").alias("old")), "vertex")
             .where(F.col("component") != F.col("old"))
             .count()
         )
-        return new, float(changed)
+
+    if io is None and check_every > 1:
+        labels = labels0.persist()
+        labels.count()
+        done = 0
+        while done < max_iters:
+            k = min(check_every, max_iters - done)
+            new = labels
+            for _ in range(k):
+                new = one_round(new)
+            new = new.localCheckpoint(eager=True)
+            done += k
+            ch = changed_count(new, labels)
+            labels.unpersist()
+            labels = new
+            if ch == 0:
+                break
+        return ComponentsResult(labels, done)
+
+    def step(labels: DataFrame, i: int) -> tuple[DataFrame, float]:
+        new = one_round(labels)
+        return new, float(changed_count(new, labels))
 
     res = iterate(labels0, step, max_iters=max_iters, tol=0.0, io=io, kernel="components", run_id=run_id)
     return ComponentsResult(res.state, res.iterations)

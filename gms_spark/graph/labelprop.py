@@ -45,7 +45,7 @@ def label_propagation(
     verts = vertices(edges)
     labels0 = verts.select("vertex", F.col("vertex").alias("label"))
 
-    def step(labels: DataFrame, i: int) -> tuple[DataFrame, float]:
+    def one_round(labels: DataFrame) -> DataFrame:
         nb = edges.join(labels.withColumnRenamed("vertex", "src"), "src").select(
             F.col("dst").alias("vertex"), "label"
         )
@@ -54,10 +54,23 @@ def label_propagation(
         best = counts.groupBy("vertex").agg(
             F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("new_label")
         )
-        new = labels.join(best, "vertex", "left").select(
+        return labels.join(best, "vertex", "left").select(
             "vertex", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
         )
-        return new, float("inf")
+
+    if io is None:
+        # Fixed iteration count, no durable checkpoint: chain all rounds
+        # lazily (plan truncated every 4) — one-ish Spark job total.
+        labels = labels0
+        for i in range(iters):
+            labels = one_round(labels)
+            if (i + 1) % 4 == 0 and i + 1 < iters:
+                labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
+        return LabelPropResult(labels, iters)
+
+    def step(labels: DataFrame, i: int) -> tuple[DataFrame, float]:
+        return one_round(labels), float("inf")
 
     res = iterate(labels0, step, max_iters=iters, tol=-1.0, io=io, kernel="labelprop", run_id=run_id)
     return LabelPropResult(res.state, res.iterations)
