@@ -419,6 +419,13 @@ def _q_coloring(spark, sf_dir):
     return jones_plassmann(doc_graph(spark, sf_dir)).colors
 
 
+def _q_subiso_square(spark, sf_dir):
+    from gms_spark.graph.subiso import subgraph_count
+
+    c = subgraph_count(doc_graph(spark, sf_dir), [(0, 1), (1, 2), (2, 3), (3, 0)])
+    return spark.createDataFrame([(c,)], "embeddings long")
+
+
 def _q_exact_dedup(spark, sf_dir):
     from gms_spark.text.dedup import exact_dedup
 
@@ -572,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "triangle_stars": _q_triangle_stars,
         "mce": _q_mce,  # per-root Bron–Kerbosch — no SQL oracle (rows-only)
+        "subiso_square": _q_subiso_square,
         "coloring": _q_coloring,  # data-dependent rounds — no SQL oracle (rows-only; propriety pytest-verified)
         # training-data pipeline: dedup
         "exact_dedup": _q_exact_dedup,
@@ -698,6 +706,14 @@ reach(v, d) AS (
 SELECT v AS vertex, min(d) AS dist FROM reach GROUP BY v"""
         ),
         "sssp": _sssp_sql(25),
+        # closed injective 4-walks == square embeddings (VF2 convention:
+        # automorphic images counted separately on both sides)
+        "subiso_square": w
+        + """
+SELECT CAST(count(*) AS BIGINT) AS embeddings
+FROM und a JOIN und b ON b.src = a.dst JOIN und c ON c.src = b.dst
+JOIN und d ON d.src = c.dst AND d.dst = a.src
+WHERE a.src <> b.dst AND a.dst <> c.dst""",
         "triangle_stars": w
         + ", "
         + tri_cte

@@ -58,7 +58,31 @@ def triangle_count_order(edges: DataFrame) -> DataFrame:
     )
 
 
-def adg_order(edges: DataFrame, eps: float = 0.1, max_rounds: int = 200) -> DataFrame:
+def adg_boundary(deg: DataFrame, eps: float, kind: str) -> float:
+    """Peel boundary for one ADG round — the reference's boundary-function
+    menu (gms/algorithms/preprocessing/parallel/boundary_function.h:14-91):
+      avg            (1+eps)·mean(remaining degree)        (:14-33)
+      min2eps        2·(1+eps)·min(remaining degree)       (:35-50)
+      sampled_median (1+eps)·approx-median via sampling    (:52-91)
+    """
+    from pyspark.sql import functions as F
+
+    if kind == "avg":
+        row = deg.agg(F.avg("degree").alias("b")).first()
+        return (1.0 + eps) * float(row["b"])
+    if kind == "min2eps":
+        row = deg.agg(F.min("degree").alias("b")).first()
+        return 2.0 * (1.0 + eps) * float(row["b"])
+    if kind == "sampled_median":
+        row = deg.sample(fraction=0.5, seed=7).agg(F.percentile_approx("degree", 0.5).alias("b")).first()
+        b = row["b"] if row["b"] is not None else deg.agg(F.min("degree")).first()[0]
+        return (1.0 + eps) * float(b)
+    raise ValueError(f"unknown boundary kind {kind!r}")
+
+
+def adg_order(
+    edges: DataFrame, eps: float = 0.1, max_rounds: int = 200, boundary: str = "avg"
+) -> DataFrame:
     """Approximate degeneracy ordering by batch peeling.
 
     Round r: boundary = (1+eps) · avg(remaining degree); peel every
@@ -73,18 +97,27 @@ def adg_order(edges: DataFrame, eps: float = 0.1, max_rounds: int = 200) -> Data
     same superstep discipline as the kernels.
     """
     remaining = edges.localCheckpoint(eager=True)
+    alive = vertices(edges).localCheckpoint(eager=True)
     peeled_parts: list[DataFrame] = []
-    spark = edges.sparkSession
     batch = 0
     while batch < max_rounds:
-        deg = degrees(remaining)  # vertices with no remaining edges are peeled implicitly
+        # degree over ALIVE vertices with 0-fill: a vertex whose last edge
+        # disappeared when its neighbors were peeled must itself be peeled
+        # this round (degree 0 ≤ every boundary), not silently dropped.
+        deg = alive.join(degrees(remaining), "vertex", "left").fillna(0, ["degree"])
         row = deg.agg(F.avg("degree").alias("avg"), F.count("*").alias("n")).first()
         if row["n"] == 0 or row["avg"] is None:
             break
-        boundary = (1.0 + eps) * float(row["avg"])
-        peel = deg.where(F.col("degree") <= boundary).select("vertex", F.lit(batch).alias("batch"))
+        if boundary == "avg":  # inline fast path (one agg already done)
+            b = (1.0 + eps) * float(row["avg"])
+        else:
+            b = adg_boundary(deg, eps, boundary)
+        # the boundaries all dominate the min remaining degree, so the
+        # peel set is non-empty every round (termination guaranteed)
+        peel = deg.where(F.col("degree") <= b).select("vertex", F.lit(batch).alias("batch"))
         peeled_parts.append(peel.localCheckpoint(eager=True))
-        keep = deg.where(F.col("degree") > boundary).select("vertex")
+        keep = deg.where(F.col("degree") > b).select("vertex")
+        alive = keep.localCheckpoint(eager=True)
         remaining = (
             remaining.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
@@ -92,8 +125,6 @@ def adg_order(edges: DataFrame, eps: float = 0.1, max_rounds: int = 200) -> Data
         )
         batch += 1
 
-    # isolated vertices of the original graph never appear in `edges`'
-    # degree table; callers pass symmetrized edges so every vertex shows up.
     all_batches = peeled_parts[0]
     for p in peeled_parts[1:]:
         all_batches = all_batches.unionAll(p)
