@@ -419,6 +419,16 @@ def _q_coloring(spark, sf_dir):
     return jones_plassmann(doc_graph(spark, sf_dir)).colors
 
 
+def _q_betweenness(spark, sf_dir):
+    from gms_spark.graph.betweenness import betweenness_centrality
+    from gms_spark.graph.build import vertices
+
+    und = doc_graph(spark, sf_dir)
+    srcs = vertices(und).where(F.col("vertex") % 8 == 0)  # deterministic sample
+    bc = betweenness_centrality(und, sources=srcs)
+    return bc.select("vertex", F.round("bc", 6).alias("bc"))
+
+
 def _q_subiso_square(spark, sf_dir):
     from gms_spark.graph.subiso import subgraph_count
 
@@ -580,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stars": _q_triangle_stars,
         "mce": _q_mce,  # per-root Bron–Kerbosch — no SQL oracle (rows-only)
         "subiso_square": _q_subiso_square,
+        "betweenness": _q_betweenness,  # Brandes, sampled sources — no SQL oracle (pytest-verified)
         "coloring": _q_coloring,  # data-dependent rounds — no SQL oracle (rows-only; propriety pytest-verified)
         # training-data pipeline: dedup
         "exact_dedup": _q_exact_dedup,
