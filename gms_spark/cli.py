@@ -48,11 +48,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.pages:
         _, edges = edges_from_pages(spark.read.parquet(args.input))
-    elif args.input.endswith(".parquet") or "/" not in args.input.rsplit(".", 1)[-1] and args.input.endswith("parquet"):
-        edges = spark.read.parquet(args.input).select("src", "dst")
-    elif args.input.rsplit(".", 1)[-1] in ("el", "wel", "gr", "mtx", "graph"):
+    elif args.input.rsplit(".", 1)[-1].lower() in ("el", "wel", "gr", "mtx", "graph"):
         edges = read_edge_list(spark, args.input).select("src", "dst")
-    else:
+    else:  # parquet file or directory
         edges = spark.read.parquet(args.input).select("src", "dst")
 
     graph = edges if args.no_symmetrize else build_undirected(edges)

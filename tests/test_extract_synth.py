@@ -78,7 +78,7 @@ def test_pages_graph_runs_pagerank(spark):
     pages = synth_pages(spark, 100, partitions=4)
     _, edges = edges_from_pages(pages)
     und = build_undirected(edges)
-    res = pagerank(und, tol=1e-8, max_iters=60)
+    res = pagerank(und, tol=1e-8, max_iters=60, check_every=5)
     scores = res.scores.collect()
     assert sum(r["score"] for r in scores) == pytest.approx(1.0, abs=1e-6)
     assert len(scores) > 50

@@ -46,7 +46,7 @@ def test_build_undirected_squishes(edges_df_factory):
 def test_pagerank_matches_oracle(graph):
     name, el, df = graph
     want = pagerank_oracle(el, tol=1e-10, max_iters=200)
-    res = pagerank(df, tol=1e-10, max_iters=200)
+    res = pagerank(df, tol=1e-10, max_iters=200, check_every=8)
     got = {r["vertex"]: r["score"] for r in res.scores.collect()}
     assert got.keys() == want.keys()
     for v in want:
@@ -55,7 +55,7 @@ def test_pagerank_matches_oracle(graph):
 
 def test_pagerank_scores_sum_to_one(graph):
     _, _, df = graph
-    res = pagerank(df, tol=1e-9, max_iters=200)
+    res = pagerank(df, tol=1e-9, max_iters=200, check_every=8)
     total = sum(r["score"] for r in res.scores.collect())
     assert total == pytest.approx(1.0, abs=1e-6)
 
