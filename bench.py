@@ -25,10 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RMAT_SCALE = int(os.environ.get("BENCH_RMAT_SCALE", "17"))
-SCALING_RMAT_SCALE = int(os.environ.get("BENCH_SCALING_RMAT_SCALE", "19"))
+SCALING_RMAT_SCALE = int(os.environ.get("BENCH_SCALING_RMAT_SCALE", "20"))
 RMAT_DEG = 16
 PR_SUPERSTEPS = 5
-TRIALS = 3  # reference protocol: >=3 trials (gms/common/cli/args.h:24)
+TRIALS = 4  # reference protocol: >=3 trials (gms/common/cli/args.h:24); +1 warmup, median reported
 
 
 def _session(cores: int):
@@ -38,7 +38,15 @@ def _session(cores: int):
         f"gms_spark-bench-{cores}",
         cores=cores,
         shuffle_partitions=max(cores, 8),
-        extra_conf={"spark.default.parallelism": str(max(cores, 8))},
+        extra_conf={
+            "spark.default.parallelism": str(max(cores, 8)),
+            # Pin the cluster-realistic plan: a 10^12-vertex scores table
+            # can never broadcast, so the scaling measurement must use the
+            # shuffled-hash path at EVERY parallelism level. AQE otherwise
+            # flips broadcast on/off between runs (scores ≈ 8 MB at bench
+            # scale), which made throughput non-deterministic.
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
     )
 
 
@@ -70,8 +78,8 @@ def pr_superstep_throughput(spark, scale: int, deg: int, supersteps: int) -> dic
     build_s = time.time() - t0
 
     damping, base = 0.85, 0.15 / n
-    best = None
-    for _trial in range(TRIALS):
+    times: list[float] = []
+    for _trial in range(TRIALS + 1):  # first trial = JIT/cache warmup, discarded
         # Symmetrized graph → every vertex has in-edges → groupBy(dst)
         # covers all vertices (no fill-join). The supersteps are chained
         # LAZILY and materialized by ONE action: Spark pipelines the 5
@@ -90,20 +98,21 @@ def pr_superstep_throughput(spark, scale: int, deg: int, supersteps: int) -> dic
                 .agg((F.lit(base) + damping * F.sum(F.col("score") * F.col("w"))).alias("score"))
             )
         scores.agg(F.sum("score")).collect()  # one action materializes all supersteps
-        iter_s = time.time() - t1
+        times.append(time.time() - t1)
         scores0.unpersist()
-        if best is None or iter_s < best:
-            best = iter_s
     und.unpersist()
     ew.unpersist()
     verts.unpersist()
+    measured = sorted(times[1:])  # drop warmup; median resists turbo/cache outliers
+    med = measured[len(measured) // 2] if len(measured) % 2 else sum(measured[len(measured) // 2 - 1 : len(measured) // 2 + 1]) / 2
     return {
         "n_vertices": n,
         "m_edges": m,
         "build_s": round(build_s, 3),
-        "iter_s": round(best, 3),
+        "iter_s": round(med, 3),
+        "trial_s": [round(t, 3) for t in times],
         "supersteps": supersteps,
-        "edges_per_sec": round(m * supersteps / best, 1),
+        "edges_per_sec": round(m * supersteps / med, 1),
     }
 
 
