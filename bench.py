@@ -31,22 +31,24 @@ PR_SUPERSTEPS = 5
 TRIALS = 4  # reference protocol: >=3 trials (gms/common/cli/args.h:24); +1 warmup, median reported
 
 
-def _session(cores: int):
+def _session(cores: int, pin_shuffled_hash: bool = True):
     from gms_spark.session import get_spark
 
+    extra = {"spark.default.parallelism": str(max(cores, 8))}
+    if pin_shuffled_hash:
+        # Pin the cluster-realistic plan for THROUGHPUT/SCALING runs: a
+        # 10^12-vertex scores table can never broadcast, so the scaling
+        # measurement must use the shuffled-hash path at EVERY
+        # parallelism level. AQE otherwise flips broadcast on/off
+        # between runs (scores ≈ 8 MB at bench scale), which made
+        # throughput non-deterministic. Headline queries keep the
+        # default config (small dims legitimately broadcast there).
+        extra["spark.sql.autoBroadcastJoinThreshold"] = "-1"
     return get_spark(
         f"gms_spark-bench-{cores}",
         cores=cores,
         shuffle_partitions=max(cores, 8),
-        extra_conf={
-            "spark.default.parallelism": str(max(cores, 8)),
-            # Pin the cluster-realistic plan: a 10^12-vertex scores table
-            # can never broadcast, so the scaling measurement must use the
-            # shuffled-hash path at EVERY parallelism level. AQE otherwise
-            # flips broadcast on/off between runs (scores ≈ 8 MB at bench
-            # scale), which made throughput non-deterministic.
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-        },
+        extra_conf=extra,
     )
 
 
@@ -162,8 +164,10 @@ def run_headline_queries(spark) -> dict:
 def main() -> None:
     result: dict = {"sf": SF_DIR, "cpus": CPUS}
 
-    spark = _session(CPUS)
+    spark = _session(CPUS, pin_shuffled_hash=False)
     queries = run_headline_queries(spark)
+    spark.stop()
+    spark = _session(CPUS)
     thr = pr_superstep_throughput(spark, RMAT_SCALE, RMAT_DEG, PR_SUPERSTEPS)
     queries["pagerank_rmat_supersteps"] = thr["iter_s"]
     result["pagerank_throughput"] = thr
