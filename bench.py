@@ -28,7 +28,8 @@ RMAT_SCALE = int(os.environ.get("BENCH_RMAT_SCALE", "17"))
 SCALING_RMAT_SCALE = int(os.environ.get("BENCH_SCALING_RMAT_SCALE", "20"))
 RMAT_DEG = 16
 PR_SUPERSTEPS = 5
-TRIALS = 4  # reference protocol: >=3 trials (gms/common/cli/args.h:24); +1 warmup, median reported
+TRIALS = 4  # measured trials (reference protocol: >=3, gms/common/cli/args.h:24)
+WARMUP = 2  # discarded: JIT + cache warmup demonstrably extends past one run
 
 
 def _session(cores: int, pin_shuffled_hash: bool = True):
@@ -81,7 +82,7 @@ def pr_superstep_throughput(spark, scale: int, deg: int, supersteps: int) -> dic
 
     damping, base = 0.85, 0.15 / n
     times: list[float] = []
-    for _trial in range(TRIALS + 1):  # first trial = JIT/cache warmup, discarded
+    for _trial in range(TRIALS + WARMUP):  # leading WARMUP trials discarded
         # Symmetrized graph → every vertex has in-edges → groupBy(dst)
         # covers all vertices (no fill-join). The supersteps are chained
         # LAZILY and materialized by ONE action: Spark pipelines the 5
@@ -105,7 +106,7 @@ def pr_superstep_throughput(spark, scale: int, deg: int, supersteps: int) -> dic
     und.unpersist()
     ew.unpersist()
     verts.unpersist()
-    measured = sorted(times[1:])  # drop warmup; median resists turbo/cache outliers
+    measured = sorted(times[WARMUP:])  # median resists turbo/thermal outliers
     med = measured[len(measured) // 2] if len(measured) % 2 else sum(measured[len(measured) // 2 - 1 : len(measured) // 2 + 1]) / 2
     return {
         "n_vertices": n,
@@ -182,16 +183,19 @@ def main() -> None:
         # point too so the saturation is visible, not hidden.
         scaling = {}
         per_core = {}
+        trials = {}
         for cores in (2, 8, 32):
             s = _session(cores)
             r = pr_superstep_throughput(s, SCALING_RMAT_SCALE, RMAT_DEG, PR_SUPERSTEPS)
             per_core[cores] = r["edges_per_sec"]
+            trials[cores] = r["trial_s"]
             s.stop()
         scaling["cores_n"], scaling["cores_4n"] = 2, 8
         scaling["edges_per_sec_n"] = per_core[2]
         scaling["edges_per_sec_4n"] = per_core[8]
         scaling["efficiency"] = round(per_core[8] / per_core[2] / 4.0, 3)
         scaling["edges_per_sec_32_saturated"] = per_core[32]
+        scaling["trial_s"] = trials  # transparency: per-config raw trials
         result["scaling"] = scaling
 
     result["queries"] = queries
