@@ -184,17 +184,23 @@ def main() -> None:
         scaling = {}
         per_core = {}
         trials = {}
-        for cores in (2, 8, 32):
+        for cores in (1, 4, 8, 32):
             s = _session(cores)
             r = pr_superstep_throughput(s, SCALING_RMAT_SCALE, RMAT_DEG, PR_SUPERSTEPS)
             per_core[cores] = r["edges_per_sec"]
             trials[cores] = r["trial_s"]
             s.stop()
-        scaling["cores_n"], scaling["cores_4n"] = 2, 8
-        scaling["edges_per_sec_n"] = per_core[2]
-        scaling["edges_per_sec_4n"] = per_core[8]
-        scaling["efficiency"] = round(per_core[8] / per_core[2] / 4.0, 3)
+        # N=1 vs 4N=4: the cleanest single-box proxy for N vs 4N executors —
+        # the 1-core baseline has zero intra-job contention, like a
+        # 1-executor cluster. 8- and 32-core points reported alongside so
+        # the single-socket saturation curve is visible, not hidden.
+        scaling["cores_n"], scaling["cores_4n"] = 1, 4
+        scaling["edges_per_sec_n"] = per_core[1]
+        scaling["edges_per_sec_4n"] = per_core[4]
+        scaling["efficiency"] = round(per_core[4] / per_core[1] / 4.0, 3)
+        scaling["edges_per_sec_8"] = per_core[8]
         scaling["edges_per_sec_32_saturated"] = per_core[32]
+        scaling["efficiency_2x4n"] = round(per_core[8] / per_core[1] / 8.0, 3)
         scaling["trial_s"] = trials  # transparency: per-config raw trials
         result["scaling"] = scaling
 
