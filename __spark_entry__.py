@@ -375,7 +375,12 @@ def _q_adg_order(spark, sf_dir):
 def _q_bfs(spark, sf_dir):
     from gms_spark.graph.traversal import bfs
 
-    return bfs(doc_graph(spark, sf_dir), source=0).select("vertex", F.col("dist").cast("long").alias("dist"))
+    # max_iters pinned to the oracle's recursive-CTE depth cap (d < 100):
+    # if the graph ever got deeper, bfs() raises instead of silently
+    # diverging from a too-shallow oracle.
+    return bfs(doc_graph(spark, sf_dir), source=0, max_iters=100).select(
+        "vertex", F.col("dist").cast("long").alias("dist")
+    )
 
 
 def _weighted_doc_graph(spark, sf_dir):
@@ -388,7 +393,12 @@ def _weighted_doc_graph(spark, sf_dir):
 def _q_sssp(spark, sf_dir):
     from gms_spark.graph.traversal import sssp
 
-    return sssp(_weighted_doc_graph(spark, sf_dir), source=0).select("vertex", F.round("dist", 6).alias("dist"))
+    # max_iters = the oracle's 25 unrolled Bellman–Ford rounds + 1 final
+    # no-change confirmation round: sssp() raises if convergence needs
+    # more, so engine and oracle can never silently diverge on depth.
+    return sssp(_weighted_doc_graph(spark, sf_dir), source=0, max_iters=26).select(
+        "vertex", F.round("dist", 6).alias("dist")
+    )
 
 
 def _q_triangle_stars(spark, sf_dir):

@@ -48,6 +48,8 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
         return new, float(cand.count())
 
     res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="bfs")
+    if res.deltas and res.deltas[-1] > 0:
+        raise RuntimeError(f"bfs did not converge within {max_iters} rounds")
     return res.state
 
 
@@ -78,6 +80,8 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
         return merged, float(changed)
 
     res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="sssp")
+    if res.deltas and res.deltas[-1] > 0:
+        raise RuntimeError(f"sssp did not converge within {max_iters} rounds")
     return res.state
 
 
@@ -97,18 +101,23 @@ def jones_plassmann(edges: DataFrame, seed: int = 27491095, max_iters: int = 500
 
     def step(state: DataFrame, i: int):
         unc = state.where(F.col("color").isNull())
-        # neighbor info for uncolored vertices
+        # neighbor info for uncolored vertices; priority ties between
+        # adjacent vertices are broken by vertex id (struct comparison) —
+        # prio alone can deadlock the loop on an xxhash64 collision.
         nbr = edges.join(
             state.select(F.col("vertex").alias("src"), F.col("color").alias("n_color"), F.col("prio").alias("n_prio")),
             "src",
-        ).select(F.col("dst").alias("vertex"), "n_color", "n_prio")
+        ).select(F.col("dst").alias("vertex"), "n_color", "n_prio", F.col("src").alias("n_vertex"))
         agg = nbr.groupBy("vertex").agg(
-            F.max(F.when(F.col("n_color").isNull(), F.col("n_prio"))).alias("max_unc_prio"),
+            F.max(F.when(F.col("n_color").isNull(), F.struct("n_prio", "n_vertex"))).alias("max_unc"),
             F.sort_array(F.collect_set("n_color")).alias("used"),
         )
         cand = (
             unc.join(agg, "vertex", "left")
-            .where(F.col("max_unc_prio").isNull() | (F.col("prio") > F.col("max_unc_prio")))
+            .where(
+                F.col("max_unc").isNull()
+                | (F.struct(F.col("prio").alias("n_prio"), F.col("vertex").alias("n_vertex")) > F.col("max_unc"))
+            )
             .select(
                 "vertex",
                 F.coalesce(
@@ -130,6 +139,8 @@ def jones_plassmann(edges: DataFrame, seed: int = 27491095, max_iters: int = 500
         return new, float(remaining)
 
     res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel="coloring")
+    if res.deltas and res.deltas[-1] > 0:
+        raise RuntimeError(f"jones_plassmann: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
     colors = res.state.select("vertex", "color")
     n_colors = colors.agg(F.countDistinct("color")).first()[0]
     return ColoringResult(colors, res.iterations, int(n_colors))
