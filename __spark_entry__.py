@@ -211,6 +211,159 @@ undw0 AS MATERIALIZED (
     )
 
 
+# Iteration/depth constants measured once on the sf0.01 doc graph (the
+# scale the driver's correctness gate runs at — see TESTDATA.md). Each is
+# deterministic given the fixed graph; the paired Spark queries converge
+# dynamically and raise if they exceed the oracle's unrolled depth.
+PR_CONV_ITERS_SF001 = 26  # 5 chunks of 5 + 1 confirmation superstep @ tol=1e-6
+ADG_ROUNDS_SF001 = 5  # eps=0.1 avg-boundary peel rounds
+MCE_MAX_K_SF001 = 4  # largest maximal clique size
+BC_MAX_DEPTH_SF001 = 5  # deepest BFS level from the %8==0 source sample
+
+
+def _adg_sql(rounds: int = ADG_ROUNDS_SF001, eps: float = 0.1) -> str:
+    """Unrolled ADG batch peel (orderings.adg_order, boundary='avg').
+
+    Round r: boundary = (1+eps)·avg(remaining degree over alive vertices,
+    0-filled); peel degree <= boundary into batch r. Rank = dense ids
+    over (batch, vertex). (1.0+eps) reprs to the identical double in
+    DuckDB, so the <= comparisons bit-match Spark's.
+    """
+    mult = repr(1.0 + eps)
+    steps = ["alive0 AS (SELECT vertex FROM verts)", "rem0 AS (SELECT src, dst FROM und)"]
+    for r in range(rounds):
+        steps.append(
+            f"""deg{r} AS MATERIALIZED (
+  SELECT a.vertex, CAST(count(e.src) AS BIGINT) AS degree
+  FROM alive{r} a LEFT JOIN rem{r} e ON e.src = a.vertex GROUP BY a.vertex
+),
+b{r} AS (SELECT {mult} * avg(degree) AS b FROM deg{r}),
+peel{r} AS (SELECT vertex, CAST({r} AS BIGINT) AS batch FROM deg{r}, b{r} WHERE degree <= b),
+alive{r + 1} AS MATERIALIZED (SELECT vertex FROM deg{r}, b{r} WHERE degree > b),
+rem{r + 1} AS MATERIALIZED (
+  SELECT src, dst FROM rem{r}
+  WHERE src IN (SELECT vertex FROM alive{r + 1}) AND dst IN (SELECT vertex FROM alive{r + 1})
+)"""
+        )
+    peels = " UNION ALL ".join(f"SELECT * FROM peel{r}" for r in range(rounds))
+    return (
+        "WITH "
+        + GRAPH_CTES
+        + ", "
+        + ",\n".join(steps)
+        + f""",
+allp AS ({peels})
+SELECT vertex, CAST(row_number() OVER (ORDER BY batch, vertex) - 1 AS BIGINT) AS rnk, batch
+FROM allp"""
+    )
+
+
+def _mce_sql(max_k: int = MCE_MAX_K_SF001) -> str:
+    """Maximal cliques by unrolled size enumeration + maximality filter.
+
+    Enumerate every clique of size 2..max_k (ascending member order), keep
+    those with NO vertex adjacent to all members (NOT EXISTS). If the
+    graph held a clique larger than max_k the output would lose rows and
+    the driver's row-count check fails loudly. Size-1 cliques are
+    isolated vertices — excluded by both engine and oracle (edge-bearing
+    graph). Output matches the engine: ('a,b,c' string, size).
+    """
+    # ck tables: c2(v1,v2), c3(v1,v2,v3), ... ascending members
+    ctes = ["c2 AS MATERIALIZED (SELECT src AS v1, dst AS v2 FROM und WHERE src < dst)"]
+    for k in range(3, max_k + 1):
+        prev_cols = ", ".join(f"v{i}" for i in range(1, k))
+        adj_checks = " AND ".join(
+            f"EXISTS (SELECT 1 FROM und e{i} WHERE e{i}.src = p.v{i} AND e{i}.dst = n.dst)"
+            for i in range(1, k - 1)
+        )
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT {prev_cols}, n.dst AS v{k}
+  FROM c{k - 1} p JOIN und n ON n.src = p.v{k - 1} AND n.dst > p.v{k - 1}
+  WHERE {adj_checks}
+)"""
+        )
+    selects = []
+    for k in range(2, max_k + 1):
+        cols = [f"v{i}" for i in range(1, k + 1)]
+        concat = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        # maximal: no vertex w adjacent to every member
+        ext = " AND ".join(f"EXISTS (SELECT 1 FROM und x{i} WHERE x{i}.src = {c} AND x{i}.dst = wv.vertex)" for i, c in enumerate(cols))
+        selects.append(
+            f"""SELECT {concat} AS clique, CAST({k} AS BIGINT) AS clique_size
+FROM c{k}
+WHERE NOT EXISTS (SELECT 1 FROM verts wv WHERE {ext})"""
+        )
+    return "WITH " + GRAPH_CTES + ", " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _betweenness_sql(max_depth: int = BC_MAX_DEPTH_SF001) -> str:
+    """Brandes bc over the %8==0 source sample, unrolled to max_depth.
+
+    Forward: per-source BFS distances (recursive CTE) + unrolled σ level
+    tables; backward: unrolled dependency deltas from the deepest level
+    up. bc(v) = (n/|S|)·0.5·Σ_s δ_s(v) over levels >= 1, matching
+    betweenness_centrality(..., halve=True) exactly. Unrolling deeper
+    than the true depth is safe (empty levels contribute nothing).
+    """
+    sig = [
+        "sig0 AS (SELECT s, s AS v, CAST(1 AS DOUBLE) AS sigma FROM srcs)",
+    ]
+    for d in range(1, max_depth + 1):
+        sig.append(
+            f"""sig{d} AS MATERIALIZED (
+  SELECT p.s, e.dst AS v, sum(p.sigma) AS sigma
+  FROM sig{d - 1} p
+  JOIN und e ON e.src = p.v
+  JOIN dist dd ON dd.s = p.s AND dd.v = e.dst AND dd.d = {d}
+  GROUP BY p.s, e.dst
+)"""
+        )
+    # deepest level has delta 0 (no level max_depth+1); walk upward
+    deltas = []
+    prev = None
+    for d in range(max_depth - 1, 0, -1):
+        ref_delta = f"LEFT JOIN dd{d + 1} dw ON dw.s = u.s AND dw.v = w.v" if prev else ""
+        delta_expr = "coalesce(dw.delta, 0)" if prev else "0"
+        deltas.append(
+            f"""dd{d} AS MATERIALIZED (
+  SELECT u.s, u.v, sum(u.sigma / w.sigma * (1 + {delta_expr})) AS delta
+  FROM sig{d} u
+  JOIN und e ON e.src = u.v
+  JOIN sig{d + 1} w ON w.s = u.s AND w.v = e.dst
+  {ref_delta}
+  GROUP BY u.s, u.v
+)"""
+        )
+        prev = d
+    parts = " UNION ALL ".join(f"SELECT v, delta FROM dd{d}" for d in range(1, max_depth))
+    return (
+        "WITH RECURSIVE "
+        + GRAPH_CTES
+        + f""",
+srcs AS MATERIALIZED (SELECT vertex AS s FROM verts WHERE vertex % 8 = 0),
+reach(s, v, d) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT reach.s, e.dst, reach.d + 1 FROM reach JOIN und e ON e.src = reach.v
+  WHERE reach.d < {max_depth}
+),
+dist AS MATERIALIZED (SELECT s, v, min(d) AS d FROM reach GROUP BY s, v),
+"""
+        + ",\n".join(sig)
+        + ",\n"
+        + ",\n".join(deltas)
+        + f""",
+scale AS (
+  SELECT (SELECT count(*) FROM verts) * 1.0 / (SELECT count(*) FROM srcs) * 0.5 AS f
+),
+allp AS ({parts}),
+bc AS (SELECT v AS vertex, sum(delta) AS delta FROM allp GROUP BY v)
+SELECT vv.vertex, round(coalesce(bc.delta, 0) * scale.f, 6) AS bc
+FROM verts vv CROSS JOIN scale LEFT JOIN bc ON bc.vertex = vv.vertex"""
+    )
+
+
 def _stopword_sql() -> str:
     from gms_spark.text.analysis import LANGS, STOPWORDS
 
@@ -503,13 +656,17 @@ def _embeddings(spark, sf_dir):
 
 
 def _q_ann_topk(spark, sf_dir):
-    from gms_spark.sim.ann import cosine_topk
+    # Exact distributed engine path: corpus stays partitioned, queries
+    # broadcast, per-partition BLAS + global window merge (no crossJoin,
+    # no corpus collect). The crossJoin cosine_topk survives only as the
+    # tiny-scale pytest oracle.
+    from gms_spark.sim.ann import cosine_topk_blocked
 
     corpus = _embeddings(spark, sf_dir)
     queries_df = corpus.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return cosine_topk(corpus, queries_df, k=10).select(
+    return cosine_topk_blocked(corpus, queries_df, k=10).select(
         "query_id", "vec_id", "cos", F.col("rank").cast("long").alias("rnk")
     )
 
@@ -527,9 +684,24 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    from gms_spark.sim.ann import near_dup_np
+    # Exact all-pairs as a distributed block-nested BLAS matmul — no
+    # driver collect, no row-level cross join. Exactness is part of the
+    # query contract (the oracle is exact all-pairs SQL), so the LSH
+    # candidate path cannot be substituted here: it trades recall for
+    # sub-quadratic work and is shipped as embedding_near_dup_lsh.
+    from gms_spark.sim.ann import near_dup_blocked
 
-    return near_dup_np(_embeddings(spark, sf_dir), threshold=0.4)
+    return near_dup_blocked(_embeddings(spark, sf_dir), threshold=0.4, block_size=1024)
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    # The sub-quadratic 100 TB path: banded hyperplane LSH candidates +
+    # exact verification. Approximate recall by construction, so no SQL
+    # oracle can hash-match it; precision is 1 (every emitted pair is
+    # exactly verified) and recall is tested statistically in pytest.
+    from gms_spark.sim.ann import near_dup_lsh
+
+    return near_dup_lsh(_embeddings(spark, sf_dir), threshold=0.4)
 
 
 def _q_events_hourly(spark, sf_dir):
@@ -594,13 +766,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_rank": _q_degree_rank,
         "vertex_similarity": _q_vertex_similarity,
         "link_prediction": _q_link_prediction,
-        "adg_order": _q_adg_order,  # iterative peel — no SQL oracle (rows-only)
+        "adg_order": _q_adg_order,
         "bfs": _q_bfs,
         "sssp": _q_sssp,
         "triangle_stars": _q_triangle_stars,
-        "mce": _q_mce,  # per-root Bron–Kerbosch — no SQL oracle (rows-only)
+        "mce": _q_mce,
         "subiso_square": _q_subiso_square,
-        "betweenness": _q_betweenness,  # Brandes, sampled sources — no SQL oracle (pytest-verified)
+        "betweenness": _q_betweenness,
         "coloring": _q_coloring,  # data-dependent rounds — no SQL oracle (rows-only; propriety pytest-verified)
         # training-data pipeline: dedup
         "exact_dedup": _q_exact_dedup,
@@ -616,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,  # hyperplane LSH (float) — no SQL oracle
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # approximate recall — no SQL oracle (precision verified in pytest)
         # relational / windows
         "events_hourly": _q_events_hourly,
         "pricing_summary": _q_pricing_summary,
@@ -635,6 +808,10 @@ tri AS MATERIALIZED (
 )"""
     return {
         "pagerank": _pagerank_sql(PR_ITERS),
+        "pagerank_converged": _pagerank_sql(PR_CONV_ITERS_SF001),
+        "adg_order": _adg_sql(),
+        "mce": _mce_sql(),
+        "betweenness": _betweenness_sql(),
         "components": (
             "WITH RECURSIVE "
             + GRAPH_CTES

@@ -34,11 +34,19 @@ def betweenness_centrality(
     sources: DataFrame | list[int] | None = None,
     max_depth: int = 200,
     halve: bool = True,
+    wave_size: int | None = 64,
 ) -> DataFrame:
     """(vertex, bc: double) over a simple undirected (symmetrized) graph.
 
     ``sources``: None = exact (all vertices); a list/DataFrame of vertex
     ids = sampled approximation, scaled by n/|S|.
+
+    ``wave_size``: sources are processed in fixed-size waves (hash-
+    assigned, deterministic) whose per-vertex bc partials accumulate —
+    peak forward-state is O(wave_size · n) instead of O(|S| · n), which
+    is what keeps the level tables shuffle-sized when |S| grows with the
+    graph. None = single wave (all sources at once). Identical output
+    for any wave_size (bc is a sum over sources).
     """
     spark = edges.sparkSession
     verts = vertices(edges).persist()
@@ -54,6 +62,39 @@ def betweenness_centrality(
             src_df = sources.select(F.col(sources.columns[0]).alias("source"))
         scale = n / src_df.count()
 
+    n_sources = src_df.count()
+    factor = scale * (0.5 if halve else 1.0)
+    if wave_size is not None and n_sources > wave_size:
+        n_waves = (n_sources + wave_size - 1) // wave_size
+        src_df = src_df.withColumn("_wave", F.pmod(F.xxhash64("source"), F.lit(n_waves))).persist()
+        src_df.count()
+        wave_totals: list[DataFrame] = []
+        for wv in range(n_waves):
+            wave_srcs = src_df.where(F.col("_wave") == wv).select("source")
+            parts = _brandes_deltas(edges, wave_srcs, max_depth)
+            if parts is not None:
+                wave_totals.append(
+                    parts.groupBy("vertex").agg(F.sum("delta").alias("delta")).localCheckpoint(eager=True)
+                )
+        src_df.unpersist()
+        if not wave_totals:
+            return verts.select("vertex", F.lit(0.0).alias("bc"))
+        allw = wave_totals[0]
+        for p in wave_totals[1:]:
+            allw = allw.unionAll(p)
+        totals = allw.groupBy("vertex").agg((F.sum("delta") * factor).alias("bc"))
+        return verts.join(totals, "vertex", "left").fillna(0.0, ["bc"]).select("vertex", "bc")
+
+    parts = _brandes_deltas(edges, src_df, max_depth)
+    if parts is None:
+        return verts.select("vertex", F.lit(0.0).alias("bc"))
+    totals = parts.groupBy("vertex").agg((F.sum("delta") * factor).alias("bc"))
+    return verts.join(totals, "vertex", "left").fillna(0.0, ["bc"]).select("vertex", "bc")
+
+
+def _brandes_deltas(edges: DataFrame, src_df: DataFrame, max_depth: int) -> DataFrame | None:
+    """Union of per-(source, vertex) dependency deltas (levels >= 1), or
+    None when no level-1 rows exist."""
     # ---- forward: levels[l] = (source, vertex, sigma) -----------------
     frontier = (
         src_df.select("source", F.col("source").alias("vertex"), F.lit(1.0).alias("sigma"))
@@ -99,11 +140,9 @@ def betweenness_centrality(
         if l - 1 >= 1:  # level-0 rows are the sources themselves (excluded)
             bc_parts.append(delta)
 
-    factor = scale * (0.5 if halve else 1.0)
     if not bc_parts:
-        return verts.select("vertex", F.lit(0.0).alias("bc"))
+        return None
     allparts = bc_parts[0]
     for p in bc_parts[1:]:
         allparts = allparts.unionAll(p)
-    totals = allparts.groupBy("vertex").agg((F.sum("delta") * factor).alias("bc"))
-    return verts.join(totals, "vertex", "left").fillna(0.0, ["bc"]).select("vertex", "bc")
+    return allparts.select("vertex", "delta")

@@ -139,22 +139,26 @@ def kclique_star_list(edges: DataFrame, k: int) -> DataFrame:
     Semantics of gms/algorithms/set_based/k_clique_star_list/
     sequential/recursive.h:33-80: for each k-clique C, star(C) =
     (∩_{v∈C} N(v)) \\ C over the FULL undirected neighborhoods.
-    Output: (members array<long>, star array<long>).
+    Output: (members array<long>, star sorted array<long>).
+
+    Plan shape: a star vertex s of clique C is adjacent to ALL k members,
+    so explode members ⋈ edges and keep (cid, s) groups of size exactly
+    k — one equi-join + one count aggregate, never materializing any
+    vertex's full neighborhood in a row (a hub member's adjacency flows
+    through the shuffle as plain edge rows with map-side partial counts).
     """
     cliques = kclique_list(edges, k)
-    full_adj = adjacency(edges)
     exploded = cliques.select(F.monotonically_increasing_id().alias("cid"), "members").persist()
-    joined = (
+    common = (
         exploded.select("cid", "members", F.explode("members").alias("src"))
-        .join(full_adj, "src")
+        .join(edges, "src")
+        .where(~F.array_contains(F.col("members"), F.col("dst")))  # s ∉ C
+        .groupBy("cid", "dst")
+        .agg(F.count("*").alias("n_adj"))
+        .where(F.col("n_adj") == k)  # adjacent to every member
         .groupBy("cid")
-        .agg(
-            F.first("members").alias("members"),
-            F.aggregate(
-                F.slice(F.collect_list("neigh"), 2, 10_000_000),
-                F.element_at(F.collect_list("neigh"), 1),
-                lambda acc, x: F.array_intersect(acc, x),
-            ).alias("common"),
-        )
+        .agg(F.sort_array(F.collect_list("dst")).alias("star"))
     )
-    return joined.select("members", F.array_except("common", "members").alias("star"))
+    return exploded.join(common, "cid", "left").select(
+        "members", F.coalesce("star", F.array().cast("array<long>")).alias("star")
+    )

@@ -9,29 +9,34 @@ recursion (sequential/tomita.h:11-107). Output: every maximal clique,
 exactly once.
 
 Spark shape (the reference's per-root thread-local subgraphs,
-sub_graph/roaring_sub_graph.h, become per-root rows): one DataFrame of
-roots (v, P, X, induced adjacency of N(v)) built with two joins +
-groupBy, then an Arrow-batched numpy Bron–Kerbosch–Tomita per root
-inside mapInPandas. Work per root is bounded by the (degree-ordered)
-out-neighborhood — the same degeneracy bound the reference exploits —
-so hub vertices stay cheap and roots parallelize across the cluster.
+sub_graph/roaring_sub_graph.h + parallel/EppsteinSubGraph.h:13-60,
+become per-root rows): one DataFrame of roots (v, P, X, induced
+adjacency of N(v)), then an Arrow-batched Bron–Kerbosch–Tomita per root
+inside mapInPandas.
 
-Ordering: (degree, id) lexicographic (matches orient_by_degree), a
-degeneracy-style order adequate for the output contract (the order
-affects only performance, never the clique set).
+Per-root memory bound: the induced adjacency is restricted to
+N(v) ∩ N(u) BEFORE any collect — i.e. it is exactly the triangles
+through v, built as edges ⋈ edges + a semi-join back on (v, w). A
+root's row payload is therefore 2·|E(G[N(v)])| (the induced
+neighborhood's edge count), never Σ_{u∈N(v)} deg(u) — a hub whose
+neighbors are mostly strangers to each other stays cheap even when
+those neighbors are themselves hubs.
+
+Ordering: ADG approximate-degeneracy ranks by default (matching the
+reference's degeneracy ordering template param, eppsteinPAR.h:17-66),
+(degree, id) as the cheap fallback. The order affects only per-root
+work (P sizes are bounded by ~degeneracy under ADG), never the clique
+set.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from gms_spark.graph.build import adjacency, degrees
 
 
 def _bk_pivot(R: list[int], P: set[int], X: set[int], adj: dict[int, set[int]], out: list[list[int]]) -> None:
@@ -47,41 +52,67 @@ def _bk_pivot(R: list[int], P: set[int], X: set[int], adj: dict[int, set[int]], 
         X = X | {v}
 
 
-def maximal_cliques(edges: DataFrame, min_size: int = 1) -> DataFrame:
+def _root_order(edges: DataFrame, order: str) -> DataFrame:
+    """(vertex, ord_rank) total order for the P/X split."""
+    if order == "adg":
+        from gms_spark.graph.orderings import adg_order
+
+        return adg_order(edges).select("vertex", F.col("rank").alias("ord_rank"))
+    if order == "degree":
+        from gms_spark.graph.build import degree_rank
+
+        return degree_rank(edges).select("vertex", F.col("rank").alias("ord_rank"))
+    raise ValueError(f"unknown order {order!r}")
+
+
+def mce_roots(edges: DataFrame, order: str = "adg") -> DataFrame:
+    """Per-root rows (v, P, X, sub) with bounded payload (see module doc)."""
+    ranks = _root_order(edges, order)
+    tagged = (
+        edges.join(ranks.withColumnRenamed("vertex", "src").withColumnRenamed("ord_rank", "r_src"), "src")
+        .join(ranks.withColumnRenamed("vertex", "dst").withColumnRenamed("ord_rank", "r_dst"), "dst")
+    )
+    later = F.col("r_src") < F.col("r_dst")
+    p_x = tagged.groupBy(F.col("src").alias("v")).agg(
+        F.sort_array(F.collect_list(F.when(later, F.col("dst")))).alias("P"),
+        F.sort_array(F.collect_list(F.when(~later, F.col("dst")))).alias("X"),
+    )
+    # induced adjacency among N(v) = triangles through v: (v,u,w) with
+    # u,w ∈ N(v) and (u,w) ∈ E — restricted BEFORE any collect_list
+    t1 = edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    t2 = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = t1.join(t2, "u").join(
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"], "left_semi"
+    )
+    nbr_adj = (
+        tri.groupBy("v", "u")
+        .agg(F.sort_array(F.collect_list("w")).alias("u_neigh"))
+        .groupBy("v")
+        .agg(F.collect_list(F.struct("u", "u_neigh")).alias("sub"))
+    )
+    # left join: a root whose neighborhood is an independent set has no
+    # triangles and an empty induced adjacency
+    return p_x.join(nbr_adj, "v", "left")
+
+
+def maximal_cliques(edges: DataFrame, min_size: int = 1, order: str = "adg") -> DataFrame:
     """All maximal cliques of a simple undirected graph: (clique array<long>).
 
     Isolated-from-edges vertices (degree 0) never appear in ``edges`` and
     are trivially maximal singletons — excluded here, matching the
     reference which enumerates over the edge-bearing graph.
     """
-    deg = degrees(edges)
-    d_src = deg.select(F.col("vertex").alias("src"), F.col("degree").alias("ds"))
-    d_dst = deg.select(F.col("vertex").alias("dst"), F.col("degree").alias("dd"))
-    tagged = edges.join(d_src, "src").join(d_dst, "dst")
-    later = (F.col("ds") < F.col("dd")) | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
-
-    # roots: for each v, P = later-ordered nbrs, X = earlier-ordered nbrs
-    p_x = tagged.groupBy(F.col("src").alias("v")).agg(
-        F.sort_array(F.collect_list(F.when(later, F.col("dst")))).alias("P"),
-        F.sort_array(F.collect_list(F.when(~later, F.col("dst")))).alias("X"),
-    )
-    # induced adjacency among N(v): explode neighbors, join their own
-    # (full) neighborhoods once, restrict inside the UDF
-    adj = adjacency(edges)
-    nbr_adj = (
-        edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
-        .join(adj.withColumnRenamed("src", "u").withColumnRenamed("neigh", "u_neigh"), "u")
-        .groupBy("v")
-        .agg(F.collect_list(F.struct("u", "u_neigh")).alias("sub"))
-    )
-    roots = p_x.join(nbr_adj, "v")
+    roots = mce_roots(edges, order)
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cliques: list[list[int]] = []
             for v, P, X, sub in zip(pdf["v"], pdf["P"], pdf["X"], pdf["sub"]):
-                nbrs = {int(s["u"]) for s in sub}
-                local = {int(s["u"]): set(int(x) for x in s["u_neigh"]) & nbrs for s in sub}
+                local = (
+                    {int(s["u"]): set(int(x) for x in s["u_neigh"]) for s in sub}
+                    if sub is not None
+                    else {}
+                )
                 out: list[list[int]] = []
                 _bk_pivot([int(v)], set(int(x) for x in P), set(int(x) for x in X), local, out)
                 cliques.extend(out)

@@ -173,8 +173,24 @@ def pagerank(
                 deltas.append(float(delta))
                 scores.unpersist()
                 scores = new
-                if delta <= tol * k:  # conservative: delta is over k steps
-                    break
+                if delta <= tol * k:
+                    # The k-step displacement <= tol*k does NOT bound the
+                    # last single-step delta for a general contraction —
+                    # confirm with ONE extra superstep whose own delta
+                    # must be <= tol (a single job at the very end; loop
+                    # continues if the confirmation fails).
+                    confirm = one_superstep(scores).localCheckpoint(eager=True)
+                    d1 = (
+                        confirm.join(scores.select("vertex", F.col("score").alias("old")), "vertex")
+                        .agg(F.sum(F.abs(F.col("score") - F.col("old"))))
+                        .first()[0]
+                    )
+                    done += 1
+                    deltas.append(float(d1))
+                    scores.unpersist()
+                    scores = confirm
+                    if d1 <= tol:
+                        break
             else:
                 deltas.append(float("inf"))
                 scores.unpersist()

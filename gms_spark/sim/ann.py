@@ -1,19 +1,36 @@
 """Similarity search over an embedding column (array<float>).
 
-Three tiers, same contract (query_id, vec_id, cos, rank):
+Top-k tiers, same contract (query_id, vec_id, cos, rank):
 
-  cosine_topk       — exact brute force as a JVM-side plan: join +
-                      zip_with/aggregate dot product + window top-k.
-                      The correctness baseline; O(Q·N) — fine when Q·N
-                      is shuffle-sized, never collects to the driver.
-  cosine_topk_np    — exact brute force via numpy matmul inside
-                      mapInPandas over query batches with the corpus
-                      broadcast (Arrow). The fast single-box path when
-                      the corpus fits an executor (BLAS beats codegen by
-                      ~10-50× on 64-dim floats).
+  cosine_topk_blocked — THE exact engine: the corpus stays distributed;
+                      the queries (the small side, like a broadcast-join
+                      build side) are collected once and broadcast; each
+                      corpus partition runs one BLAS matmul and emits its
+                      local top-k per query; a global window merges.
+                      No corpus collect, no row-level cross join —
+                      per-partition work only, so it scales with
+                      executors exactly like a broadcast hash join.
+  cosine_topk       — exact brute force as a JVM-side crossJoin plan.
+                      Kept ONLY as a tiny-scale independent test oracle
+                      (O(Q·N) rows through the shuffle).
   lsh_topk          — random-hyperplane LSH buckets + in-bucket exact
-                      re-rank: the 100 TB path (corpus sharded by bucket;
-                      each query probes its bucket ± multiprobe flips).
+                      re-rank: the sub-linear-per-query path (corpus
+                      sharded by bucket; each query probes its bucket ±
+                      multiprobe flips). Recall < 1 by construction.
+
+All-pairs near-duplicate tiers, contract (a, b, cos) with a < b:
+
+  near_dup_blocked  — exact all-pairs ≥ threshold via a block-nested
+                      matmul: corpus packed into ~block_size row blocks,
+                      block-pair join (bi ≤ bj), one BLAS multiply per
+                      pair inside mapInPandas. Exact all-pairs is
+                      inherently O(N²) FLOPs; this shape distributes
+                      them with O(N²/block_size) replication and NOTHING
+                      on the driver.
+  near_dup_lsh      — banded hyperplane LSH candidates + exact in-pair
+                      verification: the 100 TB sub-quadratic path.
+                      Recall < 1 by construction (OR-amplified across
+                      bands; tested statistically).
 
 Ties are broken by vec_id after rounding cos to 6 decimals, making
 top-k fully deterministic and engine-comparable.
@@ -48,7 +65,11 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
-    """Exact brute-force top-k; queries(query_id, qvec), corpus(vec_id, embedding)."""
+    """Exact brute-force top-k as a JVM crossJoin — TINY-SCALE TEST ORACLE.
+
+    O(Q·N) rows through the shuffle; never use as the engine path. The
+    production exact path is cosine_topk_blocked (same results).
+    """
     q = queries.select("query_id", F.transform("qvec", lambda x: x.cast("double")).alias("qvec"))
     c = corpus.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     scored = q.crossJoin(c).select(
@@ -57,78 +78,188 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame
     return _rank_topk(scored, k)
 
 
-def cosine_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
-    """Exact top-k via numpy matmul; corpus broadcast as one Arrow matrix."""
-    spark = corpus.sparkSession
-    cp = corpus.select("vec_id", "embedding").toPandas()
-    ids = cp["vec_id"].to_numpy()
-    M = np.stack(cp["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    b = spark.sparkContext.broadcast((ids, M))
+def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact distributed top-k: broadcast queries × per-partition BLAS.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_, M_ = b.value
-        for pdf in batches:
-            Q = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
-            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-            S = np.round(Q @ M_.T, 6)
-            out = []
-            for r in range(S.shape[0]):
-                # deterministic top-k: (-cos, vec_id) lexsort
-                order = np.lexsort((ids_, -S[r]))[:k]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": pdf["query_id"].iloc[r],
-                            "vec_id": ids_[order],
-                            "cos": S[r][order],
-                            "rank": np.arange(1, len(order) + 1),
-                        }
-                    )
-                )
-            yield pd.concat(out) if out else pd.DataFrame(columns=["query_id", "vec_id", "cos", "rank"])
+    The corpus NEVER leaves the executors. The queries are the small
+    side — collecting and broadcasting them is exactly the build side of
+    a broadcast hash join (at 100 TB the corpus has ~10^9+ rows, the
+    query set has 10^2..10^5). Each corpus partition multiplies the
+    broadcast query matrix against its own block and emits its LOCAL
+    top-k per query (k rows per query per partition); the global window
+    merge sees Q·k·num_partitions rows — trivially shuffle-sized.
 
-    return queries.select("query_id", "qvec").mapInPandas(run, "query_id long, vec_id long, cos double, rank int")
-
-
-def near_dup_np(corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All pairs (a<b) with cosine >= threshold — blocked numpy matmul.
-
-    The corpus matrix is broadcast once (Arrow); each partition multiplies
-    its block against the full matrix with BLAS — O(N²·d) flops but ~50×
-    faster than a JVM-expression crossJoin at sandbox scale. The 100 TB
-    path replaces the broadcast with LSH bucketing (lsh_buckets) — this
-    is the exact-verification building block both share.
+    Block-local selection uses the SAME deterministic key as the global
+    merge ((rounded cos desc, vec_id asc) lexsort), so the union of
+    local top-ks provably contains the global top-k.
     """
     spark = corpus.sparkSession
-    cp = corpus.select(id_col, vec_col).toPandas()
-    ids = cp[id_col].to_numpy()
-    M = np.stack(cp[vec_col].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    b = spark.sparkContext.broadcast((ids, M))
+    qp = queries.select("query_id", "qvec").toPandas()  # small side only
+    qids = qp["query_id"].to_numpy()
+    Q = np.stack(qp["qvec"].to_numpy()).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((qids, Q))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_, M_ = b.value
+        qids_, Q_ = b.value
         for pdf in batches:
-            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
-            bids = pdf[id_col].to_numpy()
-            S = np.round(B @ M_.T, 6)
-            rows_a, rows_b, rows_c = [], [], []
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            ids = pdf["vec_id"].to_numpy()
+            S = np.round(Q_ @ M.T, 6)  # (n_queries, block)
+            out_q, out_v, out_c = [], [], []
             for r in range(S.shape[0]):
-                mask = (S[r] >= threshold) & (ids_ > bids[r])
-                if mask.any():
-                    rows_a.append(np.full(mask.sum(), bids[r]))
-                    rows_b.append(ids_[mask])
-                    rows_c.append(S[r][mask])
+                order = np.lexsort((ids, -S[r]))[:k]
+                out_q.append(np.full(len(order), qids_[r]))
+                out_v.append(ids[order])
+                out_c.append(S[r][order])
+            yield pd.DataFrame(
+                {"query_id": np.concatenate(out_q), "vec_id": np.concatenate(out_v), "cos": np.concatenate(out_c)}
+            )
+
+    part = corpus.select("vec_id", "embedding").mapInPandas(run, "query_id long, vec_id long, cos double")
+    return _rank_topk(part, k)
+
+
+def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, n_blocks: int) -> DataFrame:
+    """Pack rows into ~equal hash blocks: (bid, ids array, vecs matrix)."""
+    tagged = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("bid"),
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_vec"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        return pd.DataFrame(
+            {
+                "bid": [int(pdf["bid"].iloc[0])],
+                "ids": [pdf["_id"].to_numpy()],
+                "vecs": [list(pdf["_vec"])],
+            }
+        )
+
+    return tagged.groupBy("bid").applyInPandas(pack, "bid long, ids array<long>, vecs array<array<double>>")
+
+
+def near_dup_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 4096,
+) -> DataFrame:
+    """All pairs (a<b) with cosine >= threshold — distributed block matmul.
+
+    Exact all-pairs is inherently O(N²·d) FLOPs; what matters at scale is
+    WHERE they run. The corpus is packed into ~block_size-row blocks, the
+    block table is self-joined on (bid_a <= bid_b) — N/B blocks →
+    (N/B)²/2 block pairs, each a single BLAS multiply inside mapInPandas
+    on an executor. Nothing is collected to the driver and no row-level
+    cross join exists; replication factor is N/B (each block meets every
+    other block once). For sub-quadratic candidate generation use
+    near_dup_lsh.
+    """
+    n = corpus.count()
+    n_blocks = max(1, (n + block_size - 1) // block_size)
+    blocks = _pack_blocks(corpus, id_col, vec_col, n_blocks).persist()
+    blocks.count()
+    a = blocks.select(F.col("bid").alias("bid_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"))
+    b = blocks.select(F.col("bid").alias("bid_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"))
+    pairs = a.join(b, F.col("bid_a") <= F.col("bid_b"))
+
+    def compare(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_a, rows_b, rows_c = [], [], []
+            for bid_a, ids_a, vecs_a, bid_b, ids_b, vecs_b in zip(
+                pdf["bid_a"], pdf["ids_a"], pdf["vecs_a"], pdf["bid_b"], pdf["ids_b"], pdf["vecs_b"]
+            ):
+                A = np.stack([np.asarray(v) for v in vecs_a])
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                B = np.stack([np.asarray(v) for v in vecs_b])
+                B /= np.linalg.norm(B, axis=1, keepdims=True)
+                ia = np.asarray(ids_a)
+                ib = np.asarray(ids_b)
+                S = np.round(A @ B.T, 6)
+                # emit each unordered pair once with a < b by id: hash
+                # blocks are id-disjoint, so ia<ib elementwise suffices
+                mask = (S >= threshold) & (ia[:, None] < ib[None, :])
+                r, c = np.nonzero(mask)
+                if len(r):
+                    rows_a.append(ia[r])
+                    rows_b.append(ib[c])
+                    rows_c.append(S[r, c])
+                if int(bid_a) != int(bid_b):  # the ia>ib half, reversed
+                    mask2 = (S >= threshold) & (ia[:, None] > ib[None, :])
+                    r2, c2 = np.nonzero(mask2)
+                    if len(r2):
+                        rows_a.append(ib[c2])
+                        rows_b.append(ia[r2])
+                        rows_c.append(S[r2, c2])
             if rows_a:
                 yield pd.DataFrame(
                     {"a": np.concatenate(rows_a), "b": np.concatenate(rows_b), "cos": np.concatenate(rows_c)}
                 )
-            else:
-                yield pd.DataFrame({"a": np.array([], dtype=np.int64), "b": np.array([], dtype=np.int64), "cos": np.array([], dtype=np.float64)})
 
-    return corpus.select(id_col, vec_col).mapInPandas(run, "a long, b long, cos double")
+    out = pairs.mapInPandas(compare, "a long, b long, cos double")
+    return out
+
+
+def near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_bands: int = 16,
+    seed: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded hyperplane LSH + exact verification.
+
+    The sub-quadratic 100 TB path: n_bands independent sign-pattern
+    bucketings of n_planes hyperplanes each; a pair is a candidate if it
+    collides in ANY band (OR amplification), then verified with the
+    exact cosine. Candidate generation is n_bands equi-self-joins on
+    (band, bucket) — bucketed shuffle joins, never all-pairs. Recall < 1
+    by construction: P(candidate) = 1-(1-p^r)^b with p = 1-θ/π; with the
+    defaults a cos=0.8 pair is caught w.p. ~0.998, cos=0.5 ~0.92.
+    """
+    base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    banded = None
+    for band in range(n_bands):
+        bb = lsh_buckets(base, "vec", n_planes=n_planes, seed=seed + 7919 * band).select(
+            "vid", F.lit(band).alias("band"), "bucket"
+        )
+        banded = bb if banded is None else banded.unionAll(bb)
+    x = banded.select(F.col("vid").alias("a"), "band", "bucket")
+    y = banded.select(F.col("vid").alias("b"), "band", "bucket")
+    cand = (
+        x.join(y, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = base.select(F.col("vid").alias("a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("vid").alias("b"), F.col("vec").alias("vec_b"))
+    verified = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                _cos(
+                    F.transform("vec_a", lambda x_: x_.cast("double")),
+                    F.transform("vec_b", lambda x_: x_.cast("double")),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    return verified
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 5) -> np.ndarray:

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from gms_spark.sim.ann import cosine_topk, cosine_topk_np, lsh_topk
+from gms_spark.sim.ann import cosine_topk, cosine_topk_blocked, lsh_topk, near_dup_blocked, near_dup_lsh
 
 SF = "/root/testdata/sf0.001"
 
@@ -49,10 +49,38 @@ def test_cosine_topk_matches_numpy(spark, corpus, queries):
         ]
 
 
-def test_cosine_topk_np_agrees_with_sql_path(corpus, queries):
+def test_cosine_topk_blocked_agrees_with_sql_path(corpus, queries):
     a = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk(corpus, queries, k=5).collect()}
-    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk_np(corpus, queries, k=5).collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk_blocked(corpus, queries, k=5).collect()}
     assert a == b
+
+
+def brute_near_dup(corpus_pdf, threshold):
+    ids = corpus_pdf["vec_id"].to_numpy()
+    M = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(M @ M.T, 6)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and S[i, j] >= threshold:
+                out.add((int(ids[i]), int(ids[j])))
+    return out
+
+
+def test_near_dup_blocked_exact(corpus):
+    want = brute_near_dup(corpus.toPandas(), 0.4)
+    # block_size small enough to force multiple blocks and cross-block pairs
+    got = {(r["a"], r["b"]) for r in near_dup_blocked(corpus, 0.4, block_size=64).collect()}
+    assert got == want
+
+
+def test_near_dup_lsh_precision_and_recall(corpus):
+    want = brute_near_dup(corpus.toPandas(), 0.4)
+    got = {(r["a"], r["b"]) for r in near_dup_lsh(corpus, 0.4).collect()}
+    assert got <= want  # precision 1: every emitted pair is exactly verified
+    if want:
+        assert len(got) / len(want) >= 0.5  # statistical recall, fixed seed
 
 
 def test_lsh_topk_recall(corpus, queries):

@@ -60,3 +60,16 @@ def test_bc_sampled_scales(edges_df_factory):
     assert sum(approx.values()) == pytest.approx(
         2 * sum(exact.values()), rel=1.0
     )  # same order of magnitude (loose sanity, 5/10 sources scaled 2x)
+
+
+def test_waved_sources_identical_to_single_wave(edges_df_factory):
+    """bc is a sum over sources — wave partitioning must not change it."""
+    from .oracles import load_el
+
+    el = undirect(load_el("smallRandom1.el"))
+    df = edges_df_factory(el)
+    one = {r["vertex"]: r["bc"] for r in betweenness_centrality(df, wave_size=None).collect()}
+    waved = {r["vertex"]: r["bc"] for r in betweenness_centrality(df, wave_size=2).collect()}
+    assert set(one) == set(waved)
+    for v in one:
+        assert abs(one[v] - waved[v]) < 1e-9

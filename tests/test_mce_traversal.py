@@ -113,3 +113,44 @@ def test_coloring_proper(name, edges_df_factory):
     # bound: at most max-degree + 1 colors (greedy guarantee)
     adj = neighbors(el)
     assert res.n_colors <= max(len(v) for v in adj.values()) + 1
+
+
+def test_mce_degree_order_same_cliques(edges_df_factory):
+    """The ordering affects only per-root work, never the clique set."""
+    el = load_el("tomitaExample.el")
+    df = edges_df_factory(el)
+    a = sorted(tuple(r["clique"]) for r in maximal_cliques(df, order="adg").collect())
+    b = sorted(tuple(r["clique"]) for r in maximal_cliques(df, order="degree").collect())
+    assert a == b
+
+
+def test_mce_root_payload_bounded_on_hub_graph(spark):
+    """Per-root rows are bounded by the INDUCED neighborhood's edges,
+    not by sum of neighbor degrees (the round-1 hub memory bomb)."""
+    from gms_spark.graph.build import build_undirected
+    from gms_spark.graph.generators import rmat_el
+    from gms_spark.graph.mce import mce_roots
+
+    und = build_undirected(rmat_el(spark, scale=10, deg=8)).persist()
+    roots = mce_roots(und, order="adg")
+    stats = (
+        roots.select(
+            "v",
+            F.coalesce(
+                F.aggregate(
+                    "sub", F.lit(0).cast("long"), lambda acc, s: acc + F.size(s["u_neigh"]).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("payload"),
+        )
+    )
+    deg = und.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+    joined = stats.join(deg, "v")
+    # payload == 2*|E(G[N(v)])| <= deg(v)*(deg(v)-1); also sanity: each
+    # u_neigh is a subset of N(v)
+    bad = joined.where(F.col("payload") > F.col("deg") * (F.col("deg") - 1)).count()
+    assert bad == 0
+    # the kernel completes on the skewed graph
+    n_cliques = maximal_cliques(und).count()
+    assert n_cliques > 0
+    und.unpersist()
