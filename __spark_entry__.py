@@ -582,6 +582,25 @@ def _q_coloring(spark, sf_dir):
     return jones_plassmann(doc_graph(spark, sf_dir)).colors
 
 
+def _q_coloring_johansson(spark, sf_dir):
+    # Palette sampling — randomized rounds (deterministic given seed) but
+    # xxhash64 draws are not SQL-expressible; propriety + <=Δ+1 bound are
+    # pytest-verified (tests/test_coloring.py).
+    from gms_spark.graph.coloring import johansson
+
+    return johansson(doc_graph(spark, sf_dir)).colors
+
+
+def _q_coloring_jp_lf(spark, sf_dir):
+    # JP largest-first (degree, hash priorities) — hash rounds, no SQL
+    # oracle; propriety + Δ+1 bound pytest-verified. The full variant
+    # harness (compare_colorings, coloring.cc:32-131) runs in pytest —
+    # 4 kernels on one graph is too heavy for a per-round driver query.
+    from gms_spark.graph.coloring import jp_lf
+
+    return jp_lf(doc_graph(spark, sf_dir)).colors
+
+
 def _q_betweenness(spark, sf_dir):
     from gms_spark.graph.betweenness import betweenness_centrality
     from gms_spark.graph.build import vertices
@@ -773,7 +792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mce": _q_mce,
         "subiso_square": _q_subiso_square,
         "betweenness": _q_betweenness,
-        "coloring": _q_coloring,  # data-dependent rounds — no SQL oracle (rows-only; propriety pytest-verified)
+        "coloring": _q_coloring,  # hash-priority rounds — no SQL oracle (rows-only; propriety pytest-verified)
+        "coloring_johansson": _q_coloring_johansson,  # randomized palette draws — no SQL oracle (propriety + Δ+1 bound pytest-verified)
+        "coloring_jp_lf": _q_coloring_jp_lf,  # hash-priority rounds — no SQL oracle (propriety pytest-verified)
         # training-data pipeline: dedup
         "exact_dedup": _q_exact_dedup,
         "jaccard_dedup": _q_jaccard_dedup,

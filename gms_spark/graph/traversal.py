@@ -22,12 +22,9 @@ Reference semantics:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gms_spark.graph.build import vertices
 from gms_spark.runtime.superstep import iterate
 
 
@@ -85,62 +82,10 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
     return res.state
 
 
-@dataclass
-class ColoringResult:
-    colors: DataFrame  # (vertex, color)
-    rounds: int
-    n_colors: int
+def jones_plassmann(edges: DataFrame, seed: int = 27491095, max_iters: int = 500):
+    """JP v1 (seeded-hash priorities) — delegates to the coloring menu's
+    shared kernel; see gms_spark.graph.coloring for the full variant
+    family (jp_lf, jp_sl, johansson) and the comparison harness."""
+    from gms_spark.graph.coloring import jp_random
 
-
-def jones_plassmann(edges: DataFrame, seed: int = 27491095, max_iters: int = 500) -> ColoringResult:
-    """Greedy parallel coloring; deterministic via hash priorities."""
-    verts = vertices(edges)
-    state0 = verts.select(
-        "vertex", F.lit(None).cast("long").alias("color"), F.xxhash64("vertex", F.lit(seed)).alias("prio")
-    )
-
-    def step(state: DataFrame, i: int):
-        unc = state.where(F.col("color").isNull())
-        # neighbor info for uncolored vertices; priority ties between
-        # adjacent vertices are broken by vertex id (struct comparison) —
-        # prio alone can deadlock the loop on an xxhash64 collision.
-        nbr = edges.join(
-            state.select(F.col("vertex").alias("src"), F.col("color").alias("n_color"), F.col("prio").alias("n_prio")),
-            "src",
-        ).select(F.col("dst").alias("vertex"), "n_color", "n_prio", F.col("src").alias("n_vertex"))
-        agg = nbr.groupBy("vertex").agg(
-            F.max(F.when(F.col("n_color").isNull(), F.struct("n_prio", "n_vertex"))).alias("max_unc"),
-            F.sort_array(F.collect_set("n_color")).alias("used"),
-        )
-        cand = (
-            unc.join(agg, "vertex", "left")
-            .where(
-                F.col("max_unc").isNull()
-                | (F.struct(F.col("prio").alias("n_prio"), F.col("vertex").alias("n_vertex")) > F.col("max_unc"))
-            )
-            .select(
-                "vertex",
-                F.coalesce(
-                    # smallest non-negative int not in `used`
-                    F.filter(
-                        F.sequence(F.lit(0), F.greatest(F.coalesce(F.size("used"), F.lit(0)), F.lit(0))),
-                        lambda c: ~F.array_contains(F.coalesce(F.col("used"), F.array().cast("array<long>")), c.cast("long")),
-                    ).getItem(0),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("new_color"),
-            )
-        )
-        new = state.join(cand, "vertex", "left").select(
-            "vertex", F.coalesce("color", "new_color").alias("color"), "prio"
-        )
-        remaining = new.where(F.col("color").isNull()).count()
-        return new, float(remaining)
-
-    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel="coloring")
-    if res.deltas and res.deltas[-1] > 0:
-        raise RuntimeError(f"jones_plassmann: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
-    colors = res.state.select("vertex", "color")
-    n_colors = colors.agg(F.countDistinct("color")).first()[0]
-    return ColoringResult(colors, res.iterations, int(n_colors))
+    return jp_random(edges, seed=seed, max_iters=max_iters)

@@ -1,0 +1,48 @@
+"""Coloring-menu tests: propriety, palette bounds, harness determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gms_spark.graph.coloring import compare_colorings, is_proper, johansson, jp_lf, jp_random, jp_sl
+
+from .oracles import load_el, undirect
+
+
+@pytest.fixture()
+def graph(edges_df_factory):
+    el = undirect(load_el("smallRandom1.el"))
+    return edges_df_factory(el).persist()
+
+
+@pytest.mark.parametrize("variant", [jp_random, jp_lf, jp_sl, johansson])
+def test_variant_proper_and_bounded(graph, variant):
+    """Propriety + Δ+1 palette bound + no NULL colors, per variant.
+
+    Greedy JP uses ≤ Δ+1 colors (a vertex sees at most Δ used colors);
+    Johansson draws from [0, Δ+1) so the same bound holds by
+    construction.
+    """
+    from gms_spark.graph.build import degrees
+
+    max_deg = degrees(graph).agg(F.max("degree")).first()[0]
+    res = variant(graph)
+    assert is_proper(graph, res.colors)
+    assert res.colors.where(F.col("color").isNull()).count() == 0
+    assert res.n_colors <= max_deg + 1
+    assert res.colors.agg(F.max("color")).first()[0] <= max_deg
+
+
+def test_compare_harness_and_determinism(edges_df_factory):
+    el = undirect(load_el("triangles_3.el"))
+    graph = edges_df_factory(el).persist()
+    rows = {r["variant"]: r for r in compare_colorings(graph).collect()}
+    assert set(rows) == {"jp_random", "jp_lf", "jp_sl", "johansson"}
+    for r in rows.values():
+        assert r["proper"] is True
+        assert r["n_colors"] >= 1 and r["rounds"] >= 1
+    # determinism: a second run of a hash-driven variant is identical
+    a = sorted((r["vertex"], r["color"]) for r in jp_lf(graph).colors.collect())
+    b = sorted((r["vertex"], r["color"]) for r in jp_lf(graph).colors.collect())
+    assert a == b
