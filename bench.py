@@ -180,11 +180,43 @@ def run_headline_queries(spark) -> dict:
     return out
 
 
+def kclique_order_comparison(spark) -> dict:
+    """ADG-degeneracy vs (degree, id) DAG orientation on the doc graph —
+    the reference's mining-order knob (kclisting.h ordering param)."""
+    import __spark_entry__ as entry_mod
+    from gms_spark.graph.kclique import kclique_count
+
+    und = entry_mod.doc_graph(spark, SF_DIR).persist()
+    und.count()
+    out = {}
+    for order in ("degree", "adg"):
+        t0 = time.time()
+        out["cliques"] = kclique_count(und, 4, order=order)
+        out[f"kclique4_{order}_s"] = round(time.time() - t0, 3)
+    und.unpersist()
+    return out
+
+
+def shingle_dict_timing(spark) -> float:
+    """Time of the shared shingle-dictionary build (assign_dense_ids over
+    distinct shingles) — jaccard_dedup and minhash_dedup each pay this
+    internally, so reporting it separately makes their per-query seconds
+    interpretable (query_s - dict_s ≈ join/verify work)."""
+    from gms_spark.text.dedup import shingle_ids
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    shingle_ids(docs).count()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     result: dict = {"sf": SF_DIR, "cpus": CPUS}
 
     spark = _session(CPUS, pin_shuffled_hash=False)
     queries = run_headline_queries(spark)
+    result["kclique_order"] = kclique_order_comparison(spark)
+    result["shingle_dict_s"] = shingle_dict_timing(spark)
     spark.stop()
     spark = _session(CPUS)
     thr = pr_superstep_throughput(spark, RMAT_SCALE, RMAT_DEG, PR_SUPERSTEPS)

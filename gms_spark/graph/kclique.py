@@ -29,8 +29,13 @@ from pyspark.sql import functions as F
 from gms_spark.graph.build import adjacency
 
 
-def kclique_count(edges: DataFrame, k: int) -> int:
-    """Number of k-cliques in a simple undirected (symmetrized) graph."""
+def kclique_count(edges: DataFrame, k: int, order: str = "degree") -> int:
+    """Number of k-cliques in a simple undirected (symmetrized) graph.
+
+    ``order``: DAG orientation — 'degree' ((degree, id)) or 'adg'
+    (approximate-degeneracy ranks, the reference's mining bound:
+    out-degrees ≤ ~2(1+ε)·degeneracy instead of ≤ max degree ties).
+    """
     if k < 1:
         return 0
     from gms_spark.graph.build import vertices
@@ -40,19 +45,21 @@ def kclique_count(edges: DataFrame, k: int) -> int:
     if k == 2:
         return edges.where(F.col("src") < F.col("dst")).count()
 
-    from gms_spark.graph.triangles import orient_by_degree
+    from gms_spark.graph.setops import batch_intersect
+    from gms_spark.graph.triangles import orient
 
-    dag = orient_by_degree(edges)
+    dag = orient(edges, order)
     adj = adjacency(dag).persist()
     adj.count()
 
     def intersect_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cands = []
-            for a, b in zip(pdf["cand"], pdf["neigh"]):
-                cands.append(np.intersect1d(np.asarray(a), np.asarray(b), assume_unique=True))
-            out = pd.DataFrame({"cand": cands})
-            yield out
+            if not len(pdf):
+                continue
+            # one flattened searchsorted per batch (setops.batch_intersect)
+            vals, counts, _ = batch_intersect(pdf["cand"], pdf["neigh"])
+            cands = np.split(vals, np.cumsum(counts)[:-1])
+            yield pd.DataFrame({"cand": cands})
 
     # level 2 frontier: for each oriented edge (u,v): cand = N+(u) ∩ N+(v)
     frontier = (
@@ -82,7 +89,7 @@ def kclique_count(edges: DataFrame, k: int) -> int:
     return int(total or 0)
 
 
-def kclique_list(edges: DataFrame, k: int) -> DataFrame:
+def kclique_list(edges: DataFrame, k: int, order: str = "degree") -> DataFrame:
     """List all k-cliques: (members: sorted array<long>).
 
     Same DAG frontier as kclique_count but carrying the member stack
@@ -91,9 +98,10 @@ def kclique_list(edges: DataFrame, k: int) -> DataFrame:
     """
     if k < 2:
         raise ValueError("k >= 2")
-    from gms_spark.graph.triangles import orient_by_degree
+    from gms_spark.graph.setops import batch_intersect
+    from gms_spark.graph.triangles import orient
 
-    dag = orient_by_degree(edges)
+    dag = orient(edges, order)
     if k == 2:
         return dag.select(F.array_sort(F.array("src", "dst")).alias("members"))
     adj = adjacency(dag).persist()
@@ -101,10 +109,10 @@ def kclique_list(edges: DataFrame, k: int) -> DataFrame:
 
     def intersect_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cands = [
-                np.intersect1d(np.asarray(a), np.asarray(b), assume_unique=True)
-                for a, b in zip(pdf["cand"], pdf["neigh"])
-            ]
+            if not len(pdf):
+                continue
+            vals, counts, _ = batch_intersect(pdf["cand"], pdf["neigh"])
+            cands = np.split(vals, np.cumsum(counts)[:-1])
             yield pd.DataFrame({"members": pdf["members"], "cand": cands})
 
     frontier = (

@@ -31,7 +31,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gms_spark.graph.build import adjacency, degrees, vertices
-from gms_spark.graph.setops import intersect_count
+from gms_spark.graph.setops import batch_intersect
+
+
+def orient_by_rank(edges: DataFrame, ranks: DataFrame) -> DataFrame:
+    """DAGify by an arbitrary total-order rank table (vertex, rank).
+
+    Keeps edges src→dst where rank(src) < rank(dst) — the apply_order.h
+    semantics for any ordering (degree, ADG degeneracy, triangle-count).
+    Under a degeneracy-style order, oriented out-degrees are bounded by
+    ~the graph's degeneracy — the reference's mining work bound
+    (kclisting.h:18-190 takes the ordering as a template param).
+    """
+    r_src = ranks.select(F.col("vertex").alias("src"), F.col("rank").alias("rs"))
+    r_dst = ranks.select(F.col("vertex").alias("dst"), F.col("rank").alias("rd"))
+    return (
+        edges.join(r_src, "src").join(r_dst, "dst").where(F.col("rs") < F.col("rd")).select("src", "dst")
+    )
+
+
+def orient(edges: DataFrame, order: str = "degree") -> DataFrame:
+    """Orientation menu: 'degree' ((degree, id), rank-free fast path) or
+    'adg' (approximate-degeneracy ranks — the reference's mining order)."""
+    if order == "degree":
+        return orient_by_degree(edges)
+    if order == "adg":
+        from gms_spark.graph.orderings import adg_order
+
+        return orient_by_rank(edges, adg_order(edges).select("vertex", "rank"))
+    raise ValueError(f"unknown order {order!r}")
 
 
 def orient_by_degree(edges: DataFrame) -> DataFrame:
@@ -72,10 +100,10 @@ def triangle_count_total(edges: DataFrame) -> int:
 
     def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            t = 0
-            for a, b in zip(pdf["neigh_u"], pdf["neigh_v"]):
-                t += intersect_count(np.asarray(a), np.asarray(b))
-            yield pd.DataFrame({"t": [t]})
+            # one flattened searchsorted for the whole Arrow batch —
+            # no per-row python loop (see setops.batch_intersect)
+            _, counts, _ = batch_intersect(pdf["neigh_u"], pdf["neigh_v"])
+            yield pd.DataFrame({"t": [int(counts.sum())]})
 
     part = pairs.select("neigh_u", "neigh_v").mapInPandas(count, "t long")
     row = part.agg(F.sum("t")).first()[0]
@@ -88,17 +116,17 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            acc: dict[int, int] = {}
-            for u, v, a, b in zip(pdf["src"], pdf["dst"], pdf["neigh_u"], pdf["neigh_v"]):
-                ws = np.intersect1d(np.asarray(a), np.asarray(b), assume_unique=True)
-                c = len(ws)
-                if c:
-                    acc[u] = acc.get(u, 0) + c
-                    acc[v] = acc.get(v, 0) + c
-                    for w in ws:
-                        w = int(w)
-                        acc[w] = acc.get(w, 0) + 1
-            yield pd.DataFrame({"vertex": list(acc.keys()), "c": list(acc.values())}, dtype="int64")
+            # flattened: per-edge counts credit u and v, each matched w
+            # gets +1; one unique+bincount replaces the per-row dict
+            vals, counts, _ = batch_intersect(pdf["neigh_u"], pdf["neigh_v"])
+            u = pdf["src"].to_numpy().astype(np.int64)
+            v = pdf["dst"].to_numpy().astype(np.int64)
+            ids = np.concatenate([u, v, vals])
+            wts = np.concatenate([counts, counts, np.ones(len(vals), dtype=np.int64)])
+            uniq, inv = np.unique(ids, return_inverse=True)
+            sums = np.bincount(inv, weights=wts).astype(np.int64)
+            nz = sums > 0
+            yield pd.DataFrame({"vertex": uniq[nz], "c": sums[nz]})
 
     partials = pairs.select("src", "dst", "neigh_u", "neigh_v").mapInPandas(emit, "vertex long, c long")
     per_vertex = partials.groupBy("vertex").agg((F.sum("c") * 2).alias("count"))

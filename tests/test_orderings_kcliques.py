@@ -97,3 +97,16 @@ def test_adg_order_valid_degeneracy_approx(graph):
     assert sorted(rank) == sorted(adj)
     worst = max(sum(1 for u in nbrs if rank[int(u)] > rank[v]) for v, nbrs in adj.items())
     assert worst <= (2 + 2 * eps) * d_exact + 1e-9
+
+
+def test_kclique_adg_order_same_counts(spark, edges_df_factory):
+    """ADG-oriented counting gives the same totals as degree-oriented
+    (the ordering is a performance knob, never a semantics knob)."""
+    from .oracles import load_el, undirect
+
+    from gms_spark.graph.kclique import kclique_count
+
+    el = undirect(load_el("smallRandom1.el"))
+    df = edges_df_factory(el).persist()
+    for k in (3, 4):
+        assert kclique_count(df, k, order="adg") == kclique_count(df, k, order="degree")
