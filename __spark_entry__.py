@@ -364,6 +364,53 @@ FROM verts vv CROSS JOIN scale LEFT JOIN bc ON bc.vertex = vv.vertex"""
     )
 
 
+def _lp_sampler_sql(k_pos: int = 200, seed_pos: int = 29, k_neg: int = 200, seed_neg: int = 31) -> str:
+    """SQL twin of lp_sampler: cumulative-degree ranges as window sums,
+    slot offsets as row_numbers over (sorted) neighbors / complement
+    members. Complement includes u itself (reference quirk)."""
+    from gms_spark.graph.lp_sampler import DRAW_A, DRAW_B, P31 as SP31
+
+    def draw_cte(name, k, seed, total_expr):
+        return f"""{name} AS (
+  SELECT i AS draw, ((i*{DRAW_A} + {seed}*{DRAW_B} + 7) % {SP31}) % ({total_expr}) AS t
+  FROM (SELECT unnest(generate_series(0, {k - 1})) AS i)
+)"""
+
+    return (
+        "WITH "
+        + GRAPH_CTES
+        + f""",
+cume AS (
+  SELECT vertex, degree,
+    sum(degree) OVER (ORDER BY vertex) AS hi,
+    sum(degree) OVER (ORDER BY vertex) - degree AS lo
+  FROM deg
+),
+nv2 AS (SELECT count(*) AS n FROM verts),
+cumc AS (
+  SELECT d.vertex, (nv2.n - d.degree) AS w,
+    sum(nv2.n - d.degree) OVER (ORDER BY d.vertex) AS hi,
+    sum(nv2.n - d.degree) OVER (ORDER BY d.vertex) - (nv2.n - d.degree) AS lo
+  FROM deg d CROSS JOIN nv2
+),
+{draw_cte("de", k_pos, seed_pos, "SELECT count(*) FROM und")},
+{draw_cte("dc", k_neg, seed_neg, "SELECT sum(w) FROM cumc")},
+nb AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM und),
+comp AS (
+  SELECT u.vertex AS src, v.vertex AS dst,
+    row_number() OVER (PARTITION BY u.vertex ORDER BY v.vertex) AS rn
+  FROM verts u JOIN verts v ON NOT EXISTS (SELECT 1 FROM und e WHERE e.src = u.vertex AND e.dst = v.vertex)
+)
+SELECT 'edge' AS kind, de.draw, least(c.vertex, nb.dst) AS a, greatest(c.vertex, nb.dst) AS b
+FROM de JOIN cume c ON de.t >= c.lo AND de.t < c.hi
+JOIN nb ON nb.src = c.vertex AND nb.rn = de.t - c.lo + 1
+UNION ALL
+SELECT 'nonedge' AS kind, dc.draw, least(c.vertex, comp.dst) AS a, greatest(c.vertex, comp.dst) AS b
+FROM dc JOIN cumc c ON dc.t >= c.lo AND dc.t < c.hi
+JOIN comp ON comp.src = c.vertex AND comp.rn = dc.t - c.lo + 1"""
+    )
+
+
 def _stopword_sql() -> str:
     from gms_spark.text.analysis import LANGS, STOPWORDS
 
@@ -517,6 +564,18 @@ def _q_link_prediction(spark, sf_dir):
     return link_prediction_topq(doc_graph(spark, sf_dir), q=50, metric="adamic_adar")
 
 
+def _q_lp_edge_samples(spark, sf_dir):
+    # Reference EdgeSampler semantics (edge_sampler.h:24-155): positives
+    # uniform over edges via cumulative degrees, negatives ∝ n-deg(u)
+    # over the complement. Deterministic arithmetic draws → exact SQL twin.
+    from gms_spark.graph.lp_sampler import sample_complement_edges, sample_edges
+
+    und = doc_graph(spark, sf_dir).persist()
+    pos = sample_edges(und, k=200, seed=29).select(F.lit("edge").alias("kind"), "draw", "a", "b")
+    neg = sample_complement_edges(und, k=200, seed=31).select(F.lit("nonedge").alias("kind"), "draw", "a", "b")
+    return pos.unionAll(neg)
+
+
 def _q_adg_order(spark, sf_dir):
     from gms_spark.graph.orderings import adg_order
 
@@ -532,6 +591,16 @@ def _q_bfs(spark, sf_dir):
     # if the graph ever got deeper, bfs() raises instead of silently
     # diverging from a too-shallow oracle.
     return bfs(doc_graph(spark, sf_dir), source=0, max_iters=100).select(
+        "vertex", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _q_bfs_do(spark, sf_dir):
+    # Direction-optimizing BFS (bfs.cc:18-25): identical distances to
+    # bfs() by construction, so it shares the same recursive-CTE oracle.
+    from gms_spark.graph.traversal import bfs_direction_optimizing
+
+    return bfs_direction_optimizing(doc_graph(spark, sf_dir), source=0, max_iters=100).select(
         "vertex", F.col("dist").cast("long").alias("dist")
     )
 
@@ -785,8 +854,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_rank": _q_degree_rank,
         "vertex_similarity": _q_vertex_similarity,
         "link_prediction": _q_link_prediction,
+        "lp_edge_samples": _q_lp_edge_samples,
         "adg_order": _q_adg_order,
         "bfs": _q_bfs,
+        "bfs_do": _q_bfs_do,
         "sssp": _q_sssp,
         "triangle_stars": _q_triangle_stars,
         "mce": _q_mce,
@@ -831,6 +902,7 @@ tri AS MATERIALIZED (
         "pagerank": _pagerank_sql(PR_ITERS),
         "pagerank_converged": _pagerank_sql(PR_CONV_ITERS_SF001),
         "adg_order": _adg_sql(),
+        "lp_edge_samples": _lp_sampler_sql(),
         "mce": _mce_sql(),
         "betweenness": _betweenness_sql(),
         "components": (
@@ -925,6 +997,19 @@ reach(v, d) AS (
 SELECT v AS vertex, min(d) AS dist FROM reach GROUP BY v"""
         ),
         "sssp": _sssp_sql(25),
+        # direction-optimizing BFS computes the SAME hop distances —
+        # it shares the plain-BFS oracle verbatim
+        "bfs_do": (
+            "WITH RECURSIVE "
+            + GRAPH_CTES
+            + """,
+reach(v, d) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, reach.d + 1 FROM reach JOIN und e ON e.src = reach.v WHERE reach.d < 100
+)
+SELECT v AS vertex, min(d) AS dist FROM reach GROUP BY v"""
+        ),
         # closed injective 4-walks == square embeddings (VF2 convention:
         # automorphic images counted separately on both sides)
         "subiso_square": w

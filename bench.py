@@ -197,6 +197,27 @@ def kclique_order_comparison(spark) -> dict:
     return out
 
 
+def bfs_direction_comparison(spark) -> dict:
+    """Plain frontier BFS vs direction-optimizing BFS (bfs.cc:18-25) on a
+    skewed R-MAT graph — the wide middle levels are where bottom-up wins."""
+    from gms_spark.graph.build import build_undirected
+    from gms_spark.graph.generators import rmat_el
+    from gms_spark.graph.traversal import bfs, bfs_direction_optimizing
+
+    und = build_undirected(rmat_el(spark, 14, RMAT_DEG)).persist()
+    und.count()
+    out = {}
+    t0 = time.time()
+    out["reached"] = bfs(und, source=0).count()
+    out["bfs_topdown_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    reached_do = bfs_direction_optimizing(und, source=0).count()
+    out["bfs_do_s"] = round(time.time() - t0, 3)
+    assert reached_do == out["reached"]
+    und.unpersist()
+    return out
+
+
 def shingle_dict_timing(spark) -> float:
     """Time of the shared shingle-dictionary build (assign_dense_ids over
     distinct shingles) — jaccard_dedup and minhash_dedup each pay this
@@ -216,6 +237,7 @@ def main() -> None:
     spark = _session(CPUS, pin_shuffled_hash=False)
     queries = run_headline_queries(spark)
     result["kclique_order"] = kclique_order_comparison(spark)
+    result["bfs_direction"] = bfs_direction_comparison(spark)
     result["shingle_dict_s"] = shingle_dict_timing(spark)
     spark.stop()
     spark = _session(CPUS)

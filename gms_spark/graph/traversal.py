@@ -44,10 +44,74 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
         new = dist.unionAll(cand)
         return new, float(cand.count())
 
-    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="bfs")
+    # truncate_every=1: the step references `dist` three times, so the
+    # logical plan grows ~3^r between truncations and Catalyst analysis
+    # dominates (state is one small row per vertex — checkpoint is cheap)
+    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="bfs", truncate_every=1)
     if res.deltas and res.deltas[-1] > 0:
         raise RuntimeError(f"bfs did not converge within {max_iters} rounds")
     return res.state
+
+
+def bfs_direction_optimizing(
+    edges: DataFrame, source: int, max_iters: int = 200, alpha: float = 2.0
+) -> DataFrame:
+    """(vertex, dist) — BFS with the reference's direction switch
+    (gms/representations/graphs/log_graph/bfs.cc:18-25, Beamer DO-BFS).
+
+    Per level, compare Σdeg(frontier) against the unvisited count:
+      top-down  — frontier ⋈ edges, shuffle ∝ edges OUT of the frontier;
+                  right when the frontier is thin.
+      bottom-up — unvisited LEFT-SEMI (edges ⋉ frontier): each unvisited
+                  vertex is emitted AT MOST ONCE (the semi-join is
+                  Spark's analog of the reference's early-exit parent
+                  scan), so the wide middle levels of a low-diameter web
+                  graph never materialize the frontier×degree blow-up
+                  that top-down + distinct would.
+    Identical distances to bfs() by construction (same level sets).
+    """
+    from gms_spark.graph.build import degrees, vertices
+
+    spark = edges.sparkSession
+    deg = degrees(edges).persist()
+    verts = vertices(edges).persist()
+    n = verts.count()
+    dist = spark.createDataFrame([(source, 0)], "vertex long, dist long").persist()
+    frontier = dist.select("vertex")
+    visited = 1
+    i = 0
+    while i < max_iters:
+        f_deg = frontier.join(deg, "vertex").agg(F.sum("degree")).first()[0] or 0
+        if f_deg > alpha * (n - visited):
+            # bottom-up: scan the UNVISITED side's own edges and keep
+            # vertices with any neighbor in the frontier — work ∝ edges
+            # incident to unvisited, not ∝ Σdeg(frontier)
+            unvisited = verts.join(dist.select("vertex"), "vertex", "left_anti")
+            cand = (
+                unvisited.withColumnRenamed("vertex", "src")
+                .join(edges, "src")
+                .join(frontier.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+                .select(F.col("src").alias("vertex"))
+                .distinct()
+            )
+        else:
+            cand = (
+                edges.join(frontier.withColumnRenamed("vertex", "src"), "src")
+                .select(F.col("dst").alias("vertex"))
+                .distinct()
+                .join(dist.select("vertex"), "vertex", "left_anti")
+            )
+        nxt = cand.select("vertex", F.lit(i + 1).alias("dist")).localCheckpoint(eager=True)
+        c = nxt.count()
+        if c == 0:
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("vertex")
+        visited += c
+        i += 1
+    deg.unpersist()
+    verts.unpersist()
+    return dist
 
 
 def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
@@ -76,7 +140,8 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
         )
         return merged, float(changed)
 
-    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="sssp")
+    # truncate_every=1 — see bfs: plan-analysis-bound, not data-bound
+    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="sssp", truncate_every=1)
     if res.deltas and res.deltas[-1] > 0:
         raise RuntimeError(f"sssp did not converge within {max_iters} rounds")
     return res.state

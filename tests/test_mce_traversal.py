@@ -154,3 +154,18 @@ def test_mce_root_payload_bounded_on_hub_graph(spark):
     n_cliques = maximal_cliques(und).count()
     assert n_cliques > 0
     und.unpersist()
+
+
+@pytest.mark.parametrize("name", ["triangles_3.el", "smallRandom1.el"])
+def test_bfs_direction_optimizing_matches_plain(name, edges_df_factory):
+    from gms_spark.graph.traversal import bfs_direction_optimizing
+
+    el = undirect(load_el(name))
+    df = edges_df_factory(el).persist()
+    src = int(el.min())
+    plain = {r["vertex"]: r["dist"] for r in bfs(df, src).collect()}
+    # alpha tiny -> forces bottom-up on every non-trivial level
+    do = {r["vertex"]: r["dist"] for r in bfs_direction_optimizing(df, src, alpha=0.01).collect()}
+    assert do == plain
+    do2 = {r["vertex"]: r["dist"] for r in bfs_direction_optimizing(df, src).collect()}
+    assert do2 == plain

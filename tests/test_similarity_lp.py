@@ -73,3 +73,55 @@ def test_lp_evaluation_runs(graph):
     assert 0.0 <= res.precision_at_q <= 1.0
     assert 0.0 <= res.auc <= 1.0
     assert res.n_test > 0
+
+
+def test_edge_sampler_reference_semantics(edges_df_factory):
+    """Exact parity with a python replica of edge_sampler.h:24-155."""
+    import numpy as np
+
+    from gms_spark.graph.lp_sampler import DRAW_A, DRAW_B, P31, sample_complement_edges, sample_edges
+
+    from .oracles import load_el, undirect
+
+    el = undirect(load_el("smallRandom1.el"))
+    df = edges_df_factory(el).persist()
+    adj = {}
+    for s, d in el:
+        adj.setdefault(int(s), set()).add(int(d))
+    verts = sorted(adj)
+    n = len(verts)
+    neigh = {v: sorted(adj[v]) for v in verts}
+
+    def draws(k, seed, total):
+        return [((i * DRAW_A + seed * DRAW_B + 7) % P31) % total for i in range(k)]
+
+    # positives: cumulative degree in id order, slot -> sorted-neighbor index
+    want_pos = []
+    cum = np.cumsum([len(neigh[v]) for v in verts])
+    total_e = int(cum[-1])
+    for i, t in enumerate(draws(25, 29, total_e)):
+        u_idx = int(np.searchsorted(cum, t, side="right"))
+        u = verts[u_idx]
+        off = t - (cum[u_idx - 1] if u_idx else 0)
+        v = neigh[u][off]
+        want_pos.append((i, min(u, v), max(u, v)))
+    got_pos = sorted((r["draw"], r["a"], r["b"]) for r in sample_edges(df, 25, seed=29).collect())
+    assert got_pos == sorted(want_pos)
+
+    # negatives: weight n - deg(u); reference skip loop over sorted neigh
+    want_neg = []
+    cumc = np.cumsum([n - len(neigh[v]) for v in verts])
+    total_c = int(cumc[-1])
+    for i, t in enumerate(draws(25, 31, total_c)):
+        u_idx = int(np.searchsorted(cumc, t, side="right"))
+        u = verts[u_idx]
+        v = t - (cumc[u_idx - 1] if u_idx else 0)
+        for nb in neigh[u]:
+            if nb <= v:
+                v += 1
+            else:
+                break
+        assert v not in adj[u]  # true complement member (may equal u)
+        want_neg.append((i, min(u, v), max(u, v)))
+    got_neg = sorted((r["draw"], r["a"], r["b"]) for r in sample_complement_edges(df, 25, seed=31).collect())
+    assert got_neg == sorted(want_neg)
