@@ -216,6 +216,11 @@ undw0 AS MATERIALIZED (
 # deterministic given the fixed graph; the paired Spark queries converge
 # dynamically and raise if they exceed the oracle's unrolled depth.
 PR_CONV_ITERS_SF001 = 26  # 5 chunks of 5 + 1 confirmation superstep @ tol=1e-6
+# measured: jp_arith colors the doc graph in 18 rounds, the H-index
+# coreness iteration fixpoints at round 10 (both sf0.001 AND sf0.01);
+# extra unrolled rounds are idempotent, so these carry safety margin
+COLORING_DET_ROUNDS = 28
+CORENESS_HINDEX_ROUNDS = 16
 ADG_ROUNDS_SF001 = 5  # eps=0.1 avg-boundary peel rounds
 MCE_MAX_K_SF001 = 4  # largest maximal clique size
 BC_MAX_DEPTH_SF001 = 5  # deepest BFS level from the %8==0 source sample
@@ -670,6 +675,92 @@ def _q_coloring_jp_lf(spark, sf_dir):
     return jp_lf(doc_graph(spark, sf_dir)).colors
 
 
+def _q_coloring_det(spark, sf_dir):
+    # JP with arithmetic priorities — every round is replayable in SQL,
+    # the externally-checkable member of the coloring menu.
+    from gms_spark.graph.coloring import jp_arith
+
+    return jp_arith(doc_graph(spark, sf_dir)).colors
+
+
+def _q_coreness(spark, sf_dir):
+    # Exact k-core numbers via distributed Matula batch peel; the oracle
+    # computes the same fixpoint by a DIFFERENT algorithm (iterated
+    # neighbor H-index, Lü et al. 2016) — a cross-algorithm check.
+    from gms_spark.graph.orderings import coreness
+
+    return coreness(doc_graph(spark, sf_dir))
+
+
+def _coloring_det_sql(rounds: int, seed: int = 17) -> str:
+    """Unrolled JP rounds (arith priorities). Extra rounds are idempotent
+    once all vertices are colored, so ``rounds`` only needs to be an
+    upper bound on the engine's measured round count."""
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_P
+
+    def pr(col):
+        return f"((({col}) % {ARITH_P}) * {ARITH_A} + {seed} * {ARITH_B}) % {ARITH_P}"
+
+    parts = [
+        "gs AS (SELECT unnest(generate_series(0, (SELECT max(degree) FROM deg))) AS c)",
+        "st0 AS (SELECT vertex, CAST(NULL AS BIGINT) AS color FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"""win{t} AS (
+  SELECT s.vertex FROM st{p} s
+  WHERE s.color IS NULL AND NOT EXISTS (
+    SELECT 1 FROM und e JOIN st{p} nb ON nb.vertex = e.dst
+    WHERE e.src = s.vertex AND nb.color IS NULL
+      AND ({pr('nb.vertex')} > {pr('s.vertex')}
+           OR ({pr('nb.vertex')} = {pr('s.vertex')} AND nb.vertex > s.vertex))
+  )
+),
+used{t} AS (
+  SELECT e.src AS vertex, nb.color AS c
+  FROM und e JOIN st{p} nb ON nb.vertex = e.dst WHERE nb.color IS NOT NULL
+),
+mex{t} AS (
+  SELECT w.vertex, min(gs.c) AS new_color
+  FROM win{t} w CROSS JOIN gs
+  LEFT JOIN used{t} u ON u.vertex = w.vertex AND u.c = gs.c
+  WHERE u.vertex IS NULL GROUP BY w.vertex
+),
+st{t} AS MATERIALIZED (
+  SELECT s.vertex, coalesce(s.color, m.new_color) AS color
+  FROM st{p} s LEFT JOIN mex{t} m ON m.vertex = s.vertex
+)"""
+        )
+    return (
+        "WITH " + GRAPH_CTES + "," + ",\n".join(parts) + f"\nSELECT vertex, color FROM st{rounds}"
+    )
+
+
+def _coreness_sql(rounds: int) -> str:
+    """Coreness by iterated neighbor H-index (c0 = degree; c_{{t+1}}(v) =
+    max_i min(i, i-th largest neighbor value) — monotone non-increasing,
+    fixpoint = core number). Idempotent at the fixpoint, so ``rounds``
+    only needs to dominate the measured convergence round."""
+    parts = ["c0 AS (SELECT vertex, degree AS val FROM deg)"]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"""h{t} AS (
+  SELECT e.src AS vertex, c.val,
+         row_number() OVER (PARTITION BY e.src ORDER BY c.val DESC) AS rn
+  FROM und e JOIN c{p} c ON c.vertex = e.dst
+),
+c{t} AS MATERIALIZED (
+  SELECT vv.vertex, coalesce(m.v, 0) AS val
+  FROM verts vv LEFT JOIN
+    (SELECT vertex, max(least(rn, val)) AS v FROM h{t} GROUP BY vertex) m
+    ON m.vertex = vv.vertex
+)"""
+        )
+    return "WITH " + GRAPH_CTES + "," + ",\n".join(parts) + f"\nSELECT vertex, val AS core FROM c{rounds}"
+
+
 def _q_betweenness(spark, sf_dir):
     from gms_spark.graph.betweenness import betweenness_centrality
     from gms_spark.graph.build import vertices
@@ -866,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": _q_coloring,  # hash-priority rounds — no SQL oracle (rows-only; propriety pytest-verified)
         "coloring_johansson": _q_coloring_johansson,  # randomized palette draws — no SQL oracle (propriety + Δ+1 bound pytest-verified)
         "coloring_jp_lf": _q_coloring_jp_lf,  # hash-priority rounds — no SQL oracle (propriety pytest-verified)
+        "coloring_det": _q_coloring_det,
+        "coreness": _q_coreness,
         # training-data pipeline: dedup
         "exact_dedup": _q_exact_dedup,
         "jaccard_dedup": _q_jaccard_dedup,
@@ -903,6 +996,8 @@ tri AS MATERIALIZED (
         "pagerank_converged": _pagerank_sql(PR_CONV_ITERS_SF001),
         "adg_order": _adg_sql(),
         "lp_edge_samples": _lp_sampler_sql(),
+        "coloring_det": _coloring_det_sql(rounds=COLORING_DET_ROUNDS),
+        "coreness": _coreness_sql(rounds=CORENESS_HINDEX_ROUNDS),
         "mce": _mce_sql(),
         "betweenness": _betweenness_sql(),
         "components": (

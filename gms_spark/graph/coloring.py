@@ -118,6 +118,26 @@ def jp_random(edges: DataFrame, seed: int = 27491095, max_iters: int = 500) -> C
     return jp_color(edges, prio, max_iters, kernel="coloring_jp_random")
 
 
+#: arithmetic-priority constants shared with the SQL oracle twin
+ARITH_A, ARITH_B, ARITH_P = 1103515245, 12345, 2147483647
+
+
+def jp_arith(edges: DataFrame, seed: int = 17, max_iters: int = 500) -> ColoringResult:
+    """JP with engine-agnostic arithmetic priorities.
+
+    prio(v) = ((v % P)·A + seed·B) % P — plain int64 modular arithmetic
+    (same policy as the MinHash coefficients and the LP sampler draws),
+    so a DuckDB oracle can replay every round bit-for-bit: this is the
+    deterministic, externally-checkable member of the JP family
+    (coloring_jones_v1.h:17-70 semantics, priority function swapped).
+    """
+    prio = vertices(edges).select(
+        "vertex",
+        (((F.col("vertex") % ARITH_P) * ARITH_A + F.lit(seed) * ARITH_B) % ARITH_P).alias("prio"),
+    )
+    return jp_color(edges, prio, max_iters, kernel="coloring_jp_arith")
+
+
 def jp_lf(edges: DataFrame, seed: int = 27491095, max_iters: int = 500) -> ColoringResult:
     """JP v2 largest-first: priority = (degree, hash) — hubs color first."""
     prio = degrees(edges).select(
@@ -206,6 +226,7 @@ def compare_colorings(edges: DataFrame, variants: list[str] | None = None) -> Da
 
     runners = {
         "jp_random": lambda: jones_plassmann(edges),
+        "jp_arith": lambda: jp_arith(edges),
         "jp_lf": lambda: jp_lf(edges),
         "jp_sl": lambda: jp_sl(edges),
         "johansson": lambda: johansson(edges),

@@ -62,6 +62,10 @@ def _root_order(edges: DataFrame, order: str) -> DataFrame:
         from gms_spark.graph.build import degree_rank
 
         return degree_rank(edges).select("vertex", F.col("rank").alias("ord_rank"))
+    if order == "degeneracy":
+        from gms_spark.graph.orderings import degeneracy_order
+
+        return degeneracy_order(edges).select("vertex", F.col("rank").alias("ord_rank"))
     raise ValueError(f"unknown order {order!r}")
 
 

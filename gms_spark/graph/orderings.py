@@ -131,3 +131,59 @@ def adg_order(
     return assign_dense_ids(all_batches, [F.col("batch").asc(), F.col("vertex").asc()]).select(
         "vertex", F.col("id").alias("rank"), "batch"
     )
+
+
+def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000) -> DataFrame:
+    """(vertex, rank, core) — EXACT degeneracy ordering + core numbers.
+
+    Distributed batch peel with Matula–Beck semantics
+    (gms/algorithms/preprocessing/sequential/degeneracy_matula.h:13-66):
+    maintain the peel level k; each round removes EVERY alive vertex
+    whose remaining degree ≤ k (k jumps to the current min degree when
+    no vertex qualifies). Invariant: when a vertex is removed at level
+    k, the graph at the start of that level had min degree ≥ k (it is a
+    k-core), so its core number is exactly k; and its later-ranked
+    neighbors (un-removed + same-batch higher ids) are all counted in
+    its current degree ≤ k ≤ degeneracy — the exact Matula forward-
+    degree bound, recovered with O(#cascade-rounds) parallel supersteps
+    instead of the reference's sequential n-step bucket queue.
+
+    rank = dense ids over (batch, vertex); core = peel level at removal
+    (== k-core number). max(core) == the graph's degeneracy.
+    """
+    remaining = edges.localCheckpoint(eager=True)
+    alive = vertices(edges).localCheckpoint(eager=True)
+    peeled_parts: list[DataFrame] = []
+    k = 0
+    batch = 0
+    while batch < max_rounds:
+        # 0-fill: a vertex whose last edge vanished with earlier peels
+        # still needs removal (degree 0 ≤ k always)
+        deg = alive.join(degrees(remaining), "vertex", "left").fillna(0, ["degree"])
+        row = deg.agg(F.count("*").alias("n"), F.min("degree").alias("m")).first()
+        if int(row["n"]) == 0:
+            break
+        k = max(k, int(row["m"]))  # level jump when the ≤k set is empty
+        peel = deg.where(F.col("degree") <= k).select(
+            "vertex", F.lit(batch).alias("batch"), F.lit(k).alias("core")
+        )
+        peeled_parts.append(peel.localCheckpoint(eager=True))
+        keep = deg.where(F.col("degree") > k).select("vertex")
+        alive = keep.localCheckpoint(eager=True)
+        remaining = (
+            remaining.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        batch += 1
+    out = peeled_parts[0]
+    for p in peeled_parts[1:]:
+        out = out.unionAll(p)
+    return assign_dense_ids(out, [F.col("batch").asc(), F.col("vertex").asc()]).select(
+        "vertex", F.col("id").alias("rank"), F.col("core").cast("long").alias("core")
+    )
+
+
+def coreness(edges: DataFrame) -> DataFrame:
+    """(vertex, core) — exact k-core numbers (projection of the peel)."""
+    return degeneracy_order(edges).select("vertex", "core")

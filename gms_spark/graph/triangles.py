@@ -59,6 +59,10 @@ def orient(edges: DataFrame, order: str = "degree") -> DataFrame:
         from gms_spark.graph.orderings import adg_order
 
         return orient_by_rank(edges, adg_order(edges).select("vertex", "rank"))
+    if order == "degeneracy":
+        from gms_spark.graph.orderings import degeneracy_order
+
+        return orient_by_rank(edges, degeneracy_order(edges).select("vertex", "rank"))
     raise ValueError(f"unknown order {order!r}")
 
 

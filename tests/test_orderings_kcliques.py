@@ -110,3 +110,51 @@ def test_kclique_adg_order_same_counts(spark, edges_df_factory):
     df = edges_df_factory(el).persist()
     for k in (3, 4):
         assert kclique_count(df, k, order="adg") == kclique_count(df, k, order="degree")
+
+
+def test_degeneracy_order_exact(graph):
+    """Exact Matula parity: core numbers, degeneracy, forward-degree bound.
+
+    The batch peel must reproduce the SEQUENTIAL peel's core numbers
+    exactly (degeneracy_matula.h:13-66 semantics), max(core) must equal
+    the graph degeneracy, and every vertex's later-ranked neighbor count
+    must be ≤ its core (the exact bound, tighter than ADG's (2+2eps)·d).
+    """
+    from gms_spark.graph.orderings import degeneracy_order
+
+    el, df = graph
+    adj = neighbors(el)
+    # sequential peel oracle with per-vertex core numbers
+    deg = {u: len(v) for u, v in adj.items()}
+    alive = set(adj)
+    k = 0
+    core = {}
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        alive.discard(v)
+        for u in adj[v]:
+            if int(u) in alive:
+                deg[int(u)] -= 1
+    rows = degeneracy_order(df).collect()
+    got_core = {r["vertex"]: r["core"] for r in rows}
+    rank = {r["vertex"]: r["rank"] for r in rows}
+    assert got_core == core
+    assert max(got_core.values()) == matula_degeneracy(el)
+    assert sorted(rank.values()) == list(range(len(adj)))
+    for v, nbrs in adj.items():
+        fwd = sum(1 for u in nbrs if rank[int(u)] > rank[v])
+        assert fwd <= got_core[v], (v, fwd, got_core[v])
+
+
+def test_mining_degeneracy_order_same_counts(spark, edges_df_factory):
+    """order='degeneracy' is a performance knob: identical counts/cliques."""
+    from gms_spark.graph.mce import maximal_cliques
+
+    el = undirect(load_el("smallRandom1.el"))
+    df = edges_df_factory(el).persist()
+    assert kclique_count(df, 4, order="degeneracy") == kclique_count(df, 4, order="degree")
+    a = sorted(tuple(r["clique"]) for r in maximal_cliques(df, order="degeneracy").collect())
+    b = sorted(tuple(r["clique"]) for r in maximal_cliques(df, order="degree").collect())
+    assert a == b
