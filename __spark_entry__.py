@@ -216,10 +216,12 @@ undw0 AS MATERIALIZED (
 # deterministic given the fixed graph; the paired Spark queries converge
 # dynamically and raise if they exceed the oracle's unrolled depth.
 PR_CONV_ITERS_SF001 = 26  # 5 chunks of 5 + 1 confirmation superstep @ tol=1e-6
-# measured: jp_arith colors the doc graph in 18 rounds, the H-index
-# coreness iteration fixpoints at round 10 (both sf0.001 AND sf0.01);
-# extra unrolled rounds are idempotent, so these carry safety margin
-COLORING_DET_ROUNDS = 28
+# measured on the doc graph (both sf0.001 AND sf0.01): JP variants
+# color in <=18 rounds, johansson in 17, the H-index coreness
+# iteration fixpoints at round 10; extra unrolled rounds are idempotent
+# (all-colored / at-fixpoint), so these carry safety margin
+COLORING_JP_ROUNDS = 28
+COLORING_JOHANSSON_ROUNDS = 24
 CORENESS_HINDEX_ROUNDS = 16
 ADG_ROUNDS_SF001 = 5  # eps=0.1 avg-boundary peel rounds
 MCE_MAX_K_SF001 = 4  # largest maximal clique size
@@ -675,14 +677,6 @@ def _q_coloring_jp_lf(spark, sf_dir):
     return jp_lf(doc_graph(spark, sf_dir)).colors
 
 
-def _q_coloring_det(spark, sf_dir):
-    # JP with arithmetic priorities — every round is replayable in SQL,
-    # the externally-checkable member of the coloring menu.
-    from gms_spark.graph.coloring import jp_arith
-
-    return jp_arith(doc_graph(spark, sf_dir)).colors
-
-
 def _q_coreness(spark, sf_dir):
     # Exact k-core numbers via distributed Matula batch peel; the oracle
     # computes the same fixpoint by a DIFFERENT algorithm (iterated
@@ -692,14 +686,30 @@ def _q_coreness(spark, sf_dir):
     return coreness(doc_graph(spark, sf_dir))
 
 
-def _coloring_det_sql(rounds: int, seed: int = 17) -> str:
-    """Unrolled JP rounds (arith priorities). Extra rounds are idempotent
+def _jp_coloring_sql(rounds: int, seed: int, largest_first: bool = False) -> str:
+    """Unrolled JP rounds (LCG-mix priorities; ``largest_first`` prepends
+    degree to the priority tuple — jp_lf). Extra rounds are idempotent
     once all vertices are colored, so ``rounds`` only needs to be an
     upper bound on the engine's measured round count."""
     from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_P
 
+    sb = seed * ARITH_B % ARITH_P  # pre-reduced: keeps every SQL literal int64-safe
+
     def pr(col):
-        return f"((({col}) % {ARITH_P}) * {ARITH_A} + {seed} * {ARITH_B}) % {ARITH_P}"
+        return f"((({col}) % {ARITH_P}) * {ARITH_A} + {sb}) % {ARITH_P}"
+
+    if largest_first:
+        # engine compares struct((degree, mix), vertex) — tuple (d, h, v)
+        win_cond = (
+            "(dn.degree, " + pr("nb.vertex") + ", nb.vertex) > (ds.degree, " + pr("s.vertex") + ", s.vertex)"
+        )
+        deg_joins = " JOIN deg dn ON dn.vertex = nb.vertex JOIN deg ds ON ds.vertex = s.vertex"
+    else:
+        win_cond = (
+            pr("nb.vertex") + " > " + pr("s.vertex")
+            + " OR (" + pr("nb.vertex") + " = " + pr("s.vertex") + " AND nb.vertex > s.vertex)"
+        )
+        deg_joins = ""
 
     parts = [
         "gs AS (SELECT unnest(generate_series(0, (SELECT max(degree) FROM deg))) AS c)",
@@ -711,10 +721,9 @@ def _coloring_det_sql(rounds: int, seed: int = 17) -> str:
             f"""win{t} AS (
   SELECT s.vertex FROM st{p} s
   WHERE s.color IS NULL AND NOT EXISTS (
-    SELECT 1 FROM und e JOIN st{p} nb ON nb.vertex = e.dst
+    SELECT 1 FROM und e JOIN st{p} nb ON nb.vertex = e.dst{deg_joins}
     WHERE e.src = s.vertex AND nb.color IS NULL
-      AND ({pr('nb.vertex')} > {pr('s.vertex')}
-           OR ({pr('nb.vertex')} = {pr('s.vertex')} AND nb.vertex > s.vertex))
+      AND ({win_cond})
   )
 ),
 used{t} AS (
@@ -735,6 +744,39 @@ st{t} AS MATERIALIZED (
     return (
         "WITH " + GRAPH_CTES + "," + ",\n".join(parts) + f"\nSELECT vertex, color FROM st{rounds}"
     )
+
+
+def _johansson_sql(rounds: int, seed: int = 5) -> str:
+    """Unrolled Johansson palette-sampling rounds (LCG-mix draws, palette
+    Δ+1, symmetric conflict drop). Idempotent once all colored."""
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_P
+
+    parts = [
+        "pal AS (SELECT max(degree) + 1 AS palette FROM deg)",
+        "st0 AS (SELECT vertex, CAST(NULL AS BIGINT) AS color FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        p, i = t - 1, t - 1  # engine round index is 0-based
+        parts.append(
+            f"""pick{t} AS (
+  SELECT s.vertex, s.color,
+    CASE WHEN s.color IS NULL THEN
+      (((s.vertex % {ARITH_P}) * {ARITH_A} + {i * 2654435761 % ARITH_P} + {seed * ARITH_B % ARITH_P}) % {ARITH_P}) % pal.palette
+    END AS pick
+  FROM st{p} s CROSS JOIN pal
+),
+conf{t} AS (
+  SELECT DISTINCT pk.vertex
+  FROM pick{t} pk JOIN und e ON e.src = pk.vertex JOIN pick{t} nb ON nb.vertex = e.dst
+  WHERE pk.pick IS NOT NULL AND (nb.color = pk.pick OR nb.pick = pk.pick)
+),
+st{t} AS MATERIALIZED (
+  SELECT pk.vertex,
+    coalesce(pk.color, CASE WHEN c.vertex IS NULL THEN pk.pick END) AS color
+  FROM pick{t} pk LEFT JOIN conf{t} c ON c.vertex = pk.vertex
+)"""
+        )
+    return "WITH " + GRAPH_CTES + "," + ",\n".join(parts) + f"\nSELECT vertex, color FROM st{rounds}"
 
 
 def _coreness_sql(rounds: int) -> str:
@@ -954,10 +996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mce": _q_mce,
         "subiso_square": _q_subiso_square,
         "betweenness": _q_betweenness,
-        "coloring": _q_coloring,  # hash-priority rounds — no SQL oracle (rows-only; propriety pytest-verified)
-        "coloring_johansson": _q_coloring_johansson,  # randomized palette draws — no SQL oracle (propriety + Δ+1 bound pytest-verified)
-        "coloring_jp_lf": _q_coloring_jp_lf,  # hash-priority rounds — no SQL oracle (propriety pytest-verified)
-        "coloring_det": _q_coloring_det,
+        "coloring": _q_coloring,
+        "coloring_johansson": _q_coloring_johansson,
+        "coloring_jp_lf": _q_coloring_jp_lf,
         "coreness": _q_coreness,
         # training-data pipeline: dedup
         "exact_dedup": _q_exact_dedup,
@@ -996,7 +1037,9 @@ tri AS MATERIALIZED (
         "pagerank_converged": _pagerank_sql(PR_CONV_ITERS_SF001),
         "adg_order": _adg_sql(),
         "lp_edge_samples": _lp_sampler_sql(),
-        "coloring_det": _coloring_det_sql(rounds=COLORING_DET_ROUNDS),
+        "coloring": _jp_coloring_sql(rounds=COLORING_JP_ROUNDS, seed=27491095),
+        "coloring_jp_lf": _jp_coloring_sql(rounds=COLORING_JP_ROUNDS, seed=27491095, largest_first=True),
+        "coloring_johansson": _johansson_sql(rounds=COLORING_JOHANSSON_ROUNDS),
         "coreness": _coreness_sql(rounds=CORENESS_HINDEX_ROUNDS),
         "mce": _mce_sql(),
         "betweenness": _betweenness_sql(),

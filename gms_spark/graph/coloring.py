@@ -113,36 +113,34 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
 
 
 def jp_random(edges: DataFrame, seed: int = 27491095, max_iters: int = 500) -> ColoringResult:
-    """JP v1: seeded-hash priorities (delegates to the shared kernel)."""
-    prio = vertices(edges).select("vertex", F.xxhash64("vertex", F.lit(seed)).alias("prio"))
+    """JP v1: seeded pseudo-random priorities (delegates to the shared
+    kernel). The reference draws priorities from std RNG
+    (coloring_jones_v1.h:17-70); per this engine's determinism contract
+    (same policy as the MinHash coefficients and LP sampler draws) the
+    RNG is replaced by an LCG mix — engine-agnostic int64 arithmetic, so
+    a DuckDB oracle replays every round bit-for-bit."""
+    prio = vertices(edges).select("vertex", _arith_prio(seed).alias("prio"))
     return jp_color(edges, prio, max_iters, kernel="coloring_jp_random")
 
 
-#: arithmetic-priority constants shared with the SQL oracle twin
+#: arithmetic-mix constants shared with the SQL oracle twins
 ARITH_A, ARITH_B, ARITH_P = 1103515245, 12345, 2147483647
 
 
-def jp_arith(edges: DataFrame, seed: int = 17, max_iters: int = 500) -> ColoringResult:
-    """JP with engine-agnostic arithmetic priorities.
-
-    prio(v) = ((v % P)·A + seed·B) % P — plain int64 modular arithmetic
-    (same policy as the MinHash coefficients and the LP sampler draws),
-    so a DuckDB oracle can replay every round bit-for-bit: this is the
-    deterministic, externally-checkable member of the JP family
-    (coloring_jones_v1.h:17-70 semantics, priority function swapped).
-    """
-    prio = vertices(edges).select(
-        "vertex",
-        (((F.col("vertex") % ARITH_P) * ARITH_A + F.lit(seed) * ARITH_B) % ARITH_P).alias("prio"),
-    )
-    return jp_color(edges, prio, max_iters, kernel="coloring_jp_arith")
+def _arith_prio(seed: int):
+    """LCG-mix priority expression — plain int64 modular arithmetic, so
+    a DuckDB oracle can replay it bit-for-bit (the engine-wide stand-in
+    for the reference's std RNG draws)."""
+    # seed*B is pre-reduced mod P driver-side (int32-literal-safe);
+    # (x + y % P) % P == (x + y) % P, so the SQL twin needs no change
+    return ((F.col("vertex") % ARITH_P) * ARITH_A + F.lit(seed * ARITH_B % ARITH_P).cast("long")) % ARITH_P
 
 
 def jp_lf(edges: DataFrame, seed: int = 27491095, max_iters: int = 500) -> ColoringResult:
-    """JP v2 largest-first: priority = (degree, hash) — hubs color first."""
+    """JP v2 largest-first: priority = (degree, mix) — hubs color first."""
     prio = degrees(edges).select(
         "vertex",
-        F.struct(F.col("degree").alias("d"), F.xxhash64("vertex", F.lit(seed)).alias("h")).alias("prio"),
+        F.struct(F.col("degree").alias("d"), _arith_prio(seed).alias("h")).alias("prio"),
     )
     return jp_color(edges, prio, max_iters, kernel="coloring_jp_lf")
 
@@ -163,11 +161,13 @@ def jp_sl(edges: DataFrame, eps: float = 0.1, max_iters: int = 500) -> ColoringR
 def johansson(edges: DataFrame, seed: int = 5, max_iters: int = 500) -> ColoringResult:
     """Johansson palette sampling (coloring_johansson.h).
 
-    Round i: every uncolored vertex draws color hash(v, i, seed) mod
+    Round i: every uncolored vertex draws color mix(v, i, seed) mod
     (Δ+1); it KEEPS the draw iff no neighbor already holds that color
     and no uncolored neighbor drew the same value this round (symmetric
     drop — progress w.h.p. since the palette strictly exceeds every
-    degree). Deterministic given the seed; ≤ Δ+1 colors by construction.
+    degree). Deterministic given the seed — the draw is the engine-wide
+    LCG mix (SQL-replayable, like the MinHash coefficients), with the
+    round index folded in; ≤ Δ+1 colors by construction.
     """
     edges = edges.persist()
     max_deg = int(degrees(edges).agg(F.max("degree")).first()[0])
@@ -175,7 +175,15 @@ def johansson(edges: DataFrame, seed: int = 5, max_iters: int = 500) -> Coloring
     state0 = vertices(edges).select("vertex", F.lit(None).cast("long").alias("color"))
 
     def step(state: DataFrame, i: int):
-        draw = F.pmod(F.xxhash64("vertex", F.lit(i), F.lit(seed)), F.lit(palette)).cast("long")
+        draw = F.pmod(
+            (
+                (F.col("vertex") % ARITH_P) * ARITH_A
+                + F.lit(i * 2654435761 % ARITH_P).cast("long")
+                + F.lit(seed * ARITH_B % ARITH_P).cast("long")
+            )
+            % ARITH_P,
+            F.lit(palette),
+        ).cast("long")
         picked = state.select(
             "vertex", "color", F.when(F.col("color").isNull(), draw).alias("pick")
         )
@@ -226,7 +234,6 @@ def compare_colorings(edges: DataFrame, variants: list[str] | None = None) -> Da
 
     runners = {
         "jp_random": lambda: jones_plassmann(edges),
-        "jp_arith": lambda: jp_arith(edges),
         "jp_lf": lambda: jp_lf(edges),
         "jp_sl": lambda: jp_sl(edges),
         "johansson": lambda: johansson(edges),

@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from gms_spark.graph.coloring import compare_colorings, is_proper, johansson, jp_arith, jp_lf, jp_random, jp_sl
+from gms_spark.graph.coloring import compare_colorings, is_proper, johansson, jp_lf, jp_random, jp_sl
 
 from .oracles import load_el, undirect
 
@@ -16,7 +16,7 @@ def graph(edges_df_factory):
     return edges_df_factory(el).persist()
 
 
-@pytest.mark.parametrize("variant", [jp_random, jp_arith, jp_lf, jp_sl, johansson])
+@pytest.mark.parametrize("variant", [jp_random, jp_lf, jp_sl, johansson])
 def test_variant_proper_and_bounded(graph, variant):
     """Propriety + Δ+1 palette bound + no NULL colors, per variant.
 
@@ -38,7 +38,7 @@ def test_compare_harness_and_determinism(edges_df_factory):
     el = undirect(load_el("triangles_3.el"))
     graph = edges_df_factory(el).persist()
     rows = {r["variant"]: r for r in compare_colorings(graph).collect()}
-    assert set(rows) == {"jp_random", "jp_arith", "jp_lf", "jp_sl", "johansson"}
+    assert set(rows) == {"jp_random", "jp_lf", "jp_sl", "johansson"}
     for r in rows.values():
         assert r["proper"] is True
         assert r["n_colors"] >= 1 and r["rounds"] >= 1
