@@ -10,8 +10,10 @@ non-edges (evaluation.h:137-174).
 Differences made deterministic for a distributed setting: the reference
 samples with a stateful RNG (edge_sampler.h:24-155); we split by
 xxhash64(src, dst, seed) threshold — order- and partition-independent —
-and compute AUC exactly over the full cartesian of (hidden × sampled
-negatives) score pairs instead of Monte-Carlo trials.
+and compute AUC exactly — the tie-averaged pairwise probability over
+ALL (hidden × sampled negative) pairs instead of Monte-Carlo trials,
+evaluated by Mann–Whitney ranks (one distributed prefix sum), never a
+cartesian.
 """
 
 from __future__ import annotations
@@ -76,11 +78,31 @@ def evaluate_link_prediction(
     neg = neg.where(F.pmod(F.xxhash64("a", "b", F.lit(seed + 1)), 4) == 0)  # deterministic 25% sample
 
     col = {"adamic_adar": "adamic_adar", "common_neighbors": "common_neighbors", "jaccard_gms": "jaccard_gms"}[metric]
-    ps = vertex_similarity(train, pos).select(F.col(col).alias("sp"))
-    ns = vertex_similarity(train, neg).select(F.col(col).alias("sn"))
-    counts = ps.crossJoin(ns).select(
-        F.sum(F.when(F.col("sp") > F.col("sn"), 1.0).when(F.col("sp") == F.col("sn"), 0.5).otherwise(0.0)).alias("w"),
-        F.count("*").alias("n"),
-    ).first()
-    auc = float(counts["w"] / counts["n"]) if counts["n"] else 0.5
+    ps = vertex_similarity(train, pos).select(F.col(col).alias("s"), F.lit(1).alias("is_pos"))
+    ns = vertex_similarity(train, neg).select(F.col(col).alias("s"), F.lit(0).alias("is_pos"))
+    auc = _rank_auc(ps.unionAll(ns))
     return LPEvalResult(precision, auc, q, n_test)
+
+
+def _rank_auc(scored: DataFrame) -> float:
+    """Exact tie-averaged AUC via Mann–Whitney ranks — identical value to
+    the positivexnegative pairwise comparison but computed from ONE
+    distributed prefix sum over score groups (O(distinct scores) state)
+    instead of an O(npos*nneg) cartesian.
+
+    AUC = (R_pos - npos(npos+1)/2) / (npos*nneg), where R_pos sums the
+    tie-averaged 1-based ranks of the positives in the combined ordering.
+    """
+    from gms_spark.graph.lp_sampler import prefix_ranges
+
+    g = scored.groupBy("s").agg(F.count("*").alias("w"), F.sum("is_pos").alias("np"))
+    ranged = prefix_ranges(g, vertex_col="s", weight_col="w")
+    row = ranged.agg(
+        F.sum(F.col("np") * (F.col("lo") + (F.col("w") + 1) / 2.0)).alias("r_pos"),
+        F.sum("np").alias("npos"),
+        F.sum(F.col("w") - F.col("np")).alias("nneg"),
+    ).first()
+    npos, nneg = int(row["npos"] or 0), int(row["nneg"] or 0)
+    if npos == 0 or nneg == 0:
+        return 0.5
+    return float((row["r_pos"] - npos * (npos + 1) / 2.0) / (npos * nneg))

@@ -125,3 +125,17 @@ def test_edge_sampler_reference_semantics(edges_df_factory):
         want_neg.append((i, min(u, v), max(u, v)))
     got_neg = sorted((r["draw"], r["a"], r["b"]) for r in sample_complement_edges(df, 25, seed=31).collect())
     assert got_neg == sorted(want_neg)
+
+
+def test_rank_auc_equals_pairwise(spark):
+    """_rank_auc == the brute pairwise tie-averaged AUC, ties included."""
+    from gms_spark.graph.lp_eval import _rank_auc
+
+    pos = [0.9, 0.5, 0.5, 0.2]
+    neg = [0.5, 0.3, 0.2, 0.1, 0.0]
+    rows = [(float(s), 1) for s in pos] + [(float(s), 0) for s in neg]
+    df = spark.createDataFrame(rows, "s double, is_pos int")
+    brute = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert abs(_rank_auc(df) - brute) < 1e-12
