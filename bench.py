@@ -149,6 +149,8 @@ def run_headline_queries(spark) -> dict:
         "kclique4",
         "vertex_similarity",
         "link_prediction",
+        "coreness",
+        "coloring",
         "minhash_dedup",
         "jaccard_dedup",
         "exact_dedup",

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gms_spark.graph.build import degrees, vertices
-from gms_spark.runtime.superstep import iterate
+from gms_spark.runtime.superstep import iterate, truncate_plan
 
 
 @dataclass
@@ -92,18 +92,20 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
                 .alias("new_color"),
             )
         )
-        new = state.join(cand, "vertex", "left").select(
-            "vertex", F.coalesce("color", "new_color").alias("color"), "prio"
+        # self-truncate BEFORE the delta count: the round executes ONCE
+        # and the count reads the cache (truncate_plan also keeps stats
+        # real — bare checkpoints compound size estimates exponentially;
+        # see runtime/superstep.py). iterate gets truncate_every=0: its
+        # persist() is a no-op on the already-persisted frame and it
+        # still unpersists the previous round's state.
+        new = truncate_plan(
+            state.join(cand, "vertex", "left").select(
+                "vertex", F.coalesce("color", "new_color").alias("color"), "prio"
+            )
         )
         return new, float(new.where(F.col("color").isNull()).count())
 
-    # truncate_every=1: coloring state is tiny (one row per vertex) but
-    # the step references `state` three times, so the logical plan grows
-    # ~3^r between truncations and Catalyst ANALYSIS (driver-side)
-    # dominates wall time long before any data does — checkpoint every
-    # round (measured: 100s/round by round 4 at default truncation vs
-    # 0.5s/round truncating each round, identical results).
-    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel=kernel, truncate_every=1)
+    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel=kernel, truncate_every=0)
     if res.deltas and res.deltas[-1] > 0:
         raise RuntimeError(f"{kernel}: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
     colors = res.state.select("vertex", "color")
@@ -197,7 +199,7 @@ def johansson(edges: DataFrame, seed: int = 5, max_iters: int = 500) -> Coloring
             .select("vertex")
             .distinct()
         )
-        new = (
+        new = truncate_plan(  # self-truncate before the count — see jp_color
             picked.join(conflicts.withColumn("_bad", F.lit(1)), "vertex", "left")
             .select(
                 "vertex",
@@ -206,8 +208,7 @@ def johansson(edges: DataFrame, seed: int = 5, max_iters: int = 500) -> Coloring
         )
         return new, float(new.where(F.col("color").isNull()).count())
 
-    # truncate_every=1 — see jp_color: plan-analysis-bound, not data-bound
-    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel="coloring_johansson", truncate_every=1)
+    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel="coloring_johansson", truncate_every=0)
     if res.deltas and res.deltas[-1] > 0:
         raise RuntimeError(f"johansson: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
     colors = res.state.select("vertex", "color")

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gms_spark.graph.build import assign_dense_ids, degrees, vertices
+from gms_spark.runtime.superstep import truncate_plan
 
 
 def identity_order(edges: DataFrame) -> DataFrame:
@@ -93,11 +94,14 @@ def adg_order(
     boundary_function.h:14-33). Final rank: dense ids over (batch,
     vertex).
 
-    Driver-side loop over DataFrames with localCheckpoint per round —
-    same superstep discipline as the kernels.
+    Driver-side loop over DataFrames with plan truncation per round
+    (truncate_plan: checkpoint + persist, NOT bare localCheckpoint —
+    bare checkpoints inherit stats estimates that compound
+    exponentially across peel rounds; see runtime/superstep.py).
     """
-    remaining = edges.localCheckpoint(eager=True)
-    alive = vertices(edges).localCheckpoint(eager=True)
+    olds: list[DataFrame] = []
+    remaining = truncate_plan(edges)
+    alive = truncate_plan(vertices(edges))
     peeled_parts: list[DataFrame] = []
     batch = 0
     while batch < max_rounds:
@@ -117,20 +121,23 @@ def adg_order(
         peel = deg.where(F.col("degree") <= b).select("vertex", F.lit(batch).alias("batch"))
         peeled_parts.append(peel.localCheckpoint(eager=True))
         keep = deg.where(F.col("degree") > b).select("vertex")
-        alive = keep.localCheckpoint(eager=True)
-        remaining = (
+        olds.extend((alive, remaining))
+        alive = truncate_plan(keep)
+        remaining = truncate_plan(
             remaining.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
         )
         batch += 1
 
     all_batches = peeled_parts[0]
     for p in peeled_parts[1:]:
         all_batches = all_batches.unionAll(p)
-    return assign_dense_ids(all_batches, [F.col("batch").asc(), F.col("vertex").asc()]).select(
+    out = assign_dense_ids(all_batches, [F.col("batch").asc(), F.col("vertex").asc()]).select(
         "vertex", F.col("id").alias("rank"), "batch"
-    )
+    ).localCheckpoint(eager=True)
+    for df in olds + [alive, remaining]:
+        df.unpersist()
+    return out
 
 
 def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000) -> DataFrame:
@@ -151,8 +158,9 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000) -> DataFrame
     rank = dense ids over (batch, vertex); core = peel level at removal
     (== k-core number). max(core) == the graph's degeneracy.
     """
-    remaining = edges.localCheckpoint(eager=True)
-    alive = vertices(edges).localCheckpoint(eager=True)
+    olds: list[DataFrame] = []
+    remaining = truncate_plan(edges)
+    alive = truncate_plan(vertices(edges))
     peeled_parts: list[DataFrame] = []
     k = 0
     batch = 0
@@ -169,19 +177,22 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000) -> DataFrame
         )
         peeled_parts.append(peel.localCheckpoint(eager=True))
         keep = deg.where(F.col("degree") > k).select("vertex")
-        alive = keep.localCheckpoint(eager=True)
-        remaining = (
+        olds.extend((alive, remaining))
+        alive = truncate_plan(keep)
+        remaining = truncate_plan(
             remaining.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
         )
         batch += 1
     out = peeled_parts[0]
     for p in peeled_parts[1:]:
         out = out.unionAll(p)
-    return assign_dense_ids(out, [F.col("batch").asc(), F.col("vertex").asc()]).select(
+    res = assign_dense_ids(out, [F.col("batch").asc(), F.col("vertex").asc()]).select(
         "vertex", F.col("id").alias("rank"), F.col("core").cast("long").alias("core")
-    )
+    ).localCheckpoint(eager=True)
+    for df in olds + [alive, remaining]:
+        df.unpersist()
+    return res
 
 
 def coreness(edges: DataFrame) -> DataFrame:

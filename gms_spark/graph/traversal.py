@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gms_spark.runtime.superstep import iterate
+from gms_spark.runtime.superstep import iterate, truncate_plan
 
 
 def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
@@ -41,13 +41,14 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
             .distinct()
             .join(dist.select("vertex"), "vertex", "left_anti")
         )
-        new = dist.unionAll(cand)
-        return new, float(cand.count())
+        # self-truncate before the delta count: the round executes once,
+        # the counts read the cache, and stats stay real (bare
+        # checkpoints compound size estimates exponentially across
+        # supersteps — see runtime/superstep.py:truncate_plan)
+        new = truncate_plan(dist.unionAll(cand))
+        return new, float(new.count() - dist.count())
 
-    # truncate_every=1: the step references `dist` three times, so the
-    # logical plan grows ~3^r between truncations and Catalyst analysis
-    # dominates (state is one small row per vertex — checkpoint is cheap)
-    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="bfs", truncate_every=1)
+    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="bfs", truncate_every=0)
     if res.deltas and res.deltas[-1] > 0:
         raise RuntimeError(f"bfs did not converge within {max_iters} rounds")
     return res.state
@@ -71,6 +72,7 @@ def bfs_direction_optimizing(
     Identical distances to bfs() by construction (same level sets).
     """
     from gms_spark.graph.build import degrees, vertices
+    from gms_spark.runtime.superstep import truncate_plan
 
     spark = edges.sparkSession
     deg = degrees(edges).persist()
@@ -78,6 +80,7 @@ def bfs_direction_optimizing(
     n = verts.count()
     dist = spark.createDataFrame([(source, 0)], "vertex long, dist long").persist()
     frontier = dist.select("vertex")
+    olds = []
     visited = 1
     i = 0
     while i < max_iters:
@@ -101,14 +104,24 @@ def bfs_direction_optimizing(
                 .distinct()
                 .join(dist.select("vertex"), "vertex", "left_anti")
             )
-        nxt = cand.select("vertex", F.lit(i + 1).alias("dist")).localCheckpoint(eager=True)
+        # truncate_plan, not bare localCheckpoint: bare checkpoints
+        # inherit stats estimates that compound exponentially across
+        # supersteps (see runtime/superstep.py:truncate_plan)
+        nxt = truncate_plan(cand.select("vertex", F.lit(i + 1).alias("dist")))
         c = nxt.count()
         if c == 0:
+            olds.append(nxt)
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        olds.append(dist)
+        dist = truncate_plan(dist.unionAll(nxt))
+        olds.append(nxt)
         frontier = nxt.select("vertex")
         visited += c
         i += 1
+    olds.append(dist)
+    dist = dist.localCheckpoint(eager=True)
+    for df in olds:
+        df.unpersist()
     deg.unpersist()
     verts.unpersist()
     return dist
@@ -129,9 +142,11 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
             .groupBy("vertex")
             .agg(F.min("nd").alias("nd"))
         )
-        merged = dist.join(relax, "vertex", "full").select(
-            "vertex",
-            F.least(F.coalesce("dist", F.lit(float("inf"))), F.coalesce("nd", F.lit(float("inf")))).alias("dist"),
+        merged = truncate_plan(  # self-truncate before the delta — see bfs
+            dist.join(relax, "vertex", "full").select(
+                "vertex",
+                F.least(F.coalesce("dist", F.lit(float("inf"))), F.coalesce("nd", F.lit(float("inf")))).alias("dist"),
+            )
         )
         changed = (
             merged.join(dist.select("vertex", F.col("dist").alias("old")), "vertex", "left")
@@ -140,8 +155,7 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
         )
         return merged, float(changed)
 
-    # truncate_every=1 — see bfs: plan-analysis-bound, not data-bound
-    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="sssp", truncate_every=1)
+    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="sssp", truncate_every=0)
     if res.deltas and res.deltas[-1] > 0:
         raise RuntimeError(f"sssp did not converge within {max_iters} rounds")
     return res.state

@@ -42,6 +42,26 @@ class SuperstepResult:
     resumed_from: int | None = None
 
 
+def truncate_plan(df: DataFrame) -> DataFrame:
+    """Hard-truncate a superstep state's plan WITHOUT poisoning stats.
+
+    ``localCheckpoint`` alone inherits the child plan's sizeInBytes
+    ESTIMATE (Spark propagates originStats through the checkpoint). A
+    chained superstep then multiplies the inherited estimates at every
+    join, so the estimate's BigInt grows exponentially in DIGIT COUNT
+    round over round — by round ~20 the driver spends most of its time
+    inside Catalyst's SizeInBytesOnlyStatsPlanVisitor doing million-digit
+    BigInteger products (measured: 98 s for ONE coloring superstep over a
+    5,000-vertex graph, executors idle the whole time). Persisting the
+    checkpointed frame and materializing it makes downstream stats come
+    from the ACTUAL cached bytes — flat per-round cost (0.8 s/round on
+    the same graph). Callers must eventually ``unpersist()`` the result.
+    """
+    out = df.localCheckpoint(eager=True).persist()
+    out.count()
+    return out
+
+
 def _partition_counts(df: DataFrame) -> list[tuple[int, int]]:
     rows = (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -128,7 +148,7 @@ def iterate(
             # erases partitioning info, which would force a reshuffle of
             # the state side every superstep.
             if truncate_every > 0 and (i + 1) % truncate_every == 0:
-                new_state = new_state.localCheckpoint(eager=True)
+                new_state = truncate_plan(new_state)
             else:
                 new_state = new_state.persist()
                 new_state.count()
