@@ -938,6 +938,16 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    # Gap sessionization (30 min), single-shuffle window-function plan;
+    # the streaming twin (applyInPandasWithState, event-time timeout) is
+    # exercised in tests/test_sessions.py against this batch result.
+    from gms_spark.streaming.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_seconds=1800)
+
+
 def _q_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -1017,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # approximate recall — no SQL oracle (precision verified in pytest)
         # relational / windows
         "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
     }
@@ -1230,6 +1241,24 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
   round(sum(value), 6) AS sum_value,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1, 2""",
+        "sessionize": """
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, session_idx""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 4) AS sum_qty,

@@ -159,6 +159,7 @@ def run_headline_queries(spark) -> dict:
         "ann_topk",
         "embedding_near_dup",
         "events_hourly",
+        "sessionize",
         "pricing_summary",
         "top_customers",
     ]
