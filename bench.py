@@ -2,12 +2,16 @@
 
 Headline: PageRank superstep throughput (edges/sec) on a skewed R-MAT
 web-graph proxy, plus the north rule's two-cluster-size scaling evidence:
-the same job + input at 1, 4, 8, and 32 cores (fresh session each).
-The REPORTED N-vs-4N efficiency is the 1-core vs 4-core pair
-(thru_4 / thru_1) / 4 — the cleanest single-box proxy for N vs 4N
-executors (zero intra-job contention at N=1). The 8- and 32-core points
-are reported alongside so the single-socket bandwidth saturation is
-visible, not hidden.
+the same job + byte-identical parquet input at 1, 4, 8, and 32 cores
+(fresh session each). The REPORTED N-vs-4N efficiency is the 1-core vs
+4-core pair (thru_4 / thru_1) / 4 — the cleanest single-box proxy for N
+vs 4N executors (zero intra-job contention at N=1) — measured in an
+A-B-B-A block order (1c, 4c, 4c, 1c): this sandbox shares hardware, and
+back-to-back full runs showed the background load drifting enough to
+swing a sequentially-measured pair by ±0.15; the time-symmetric design
+cancels linear drift (each config's mean sits at the same midpoint in
+time). The 8- and 32-core points are reported alongside so the
+single-socket bandwidth saturation is visible, not hidden.
 
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
@@ -119,6 +123,87 @@ def pr_superstep_throughput(spark, scale: int, deg: int, supersteps: int) -> dic
         "trial_s": [round(t, 3) for t in times],
         "supersteps": supersteps,
         "edges_per_sec": round(m * supersteps / med, 1),
+    }
+
+
+def _prepare_scaling_input(scale: int, deg: int) -> tuple[str, int, int]:
+    """Materialize the scaling graph's SpMV table (src, dst, w=1/deg) to
+    parquet ONCE (32-core build) → (path, n_vertices, m_edges).
+
+    Every parallelism level then reads the byte-identical input instead
+    of regenerating it, and the symmetrize/degree build cost stays out of
+    the low-core blocks' wall time."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from gms_spark.graph.build import build_undirected, degrees, vertices
+    from gms_spark.graph.generators import rmat_el
+
+    path = f"/tmp/gms_bench_spmv_s{scale}_d{deg}"
+    meta = pathlib.Path(path + ".json")
+    if meta.exists():
+        d = json.loads(meta.read_text())
+        return path, d["n"], d["m"]
+    s = _session(32)
+    und = build_undirected(rmat_el(s, scale, deg)).persist()
+    m = und.count()
+    n = vertices(und).count()
+    deg_df = degrees(und)
+    (
+        und.join(deg_df.withColumnRenamed("vertex", "src"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("degree")).alias("w"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    s.stop()
+    meta.write_text(json.dumps({"n": n, "m": m}))
+    return path, n, m
+
+
+def pr_throughput_from_parquet(spark, path: str, n: int, m: int, supersteps: int, trials: int, warmup: int) -> dict:
+    """Superstep throughput over the pre-materialized SpMV table — the
+    same chained-lazy trial loop as pr_superstep_throughput, input from
+    parquet so every parallelism level runs on identical bytes."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    ew = (
+        spark.read.parquet(path)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "src")
+        .persist()
+    )
+    ew.count()
+    verts = ew.select(F.col("src").alias("vertex")).distinct().persist()
+    verts.count()
+    build_s = time.time() - t0
+
+    damping, base = 0.85, 0.15 / n
+    times: list[float] = []
+    for _trial in range(trials + warmup):
+        scores0 = verts.select("vertex", F.lit(1.0 / n).alias("score")).persist()
+        scores0.count()
+        t1 = time.time()
+        scores = scores0
+        for _ in range(supersteps):
+            scores = (
+                scores.withColumnRenamed("vertex", "src")
+                .join(ew, "src")
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg((F.lit(base) + damping * F.sum(F.col("score") * F.col("w"))).alias("score"))
+            )
+        scores.agg(F.sum("score")).collect()
+        times.append(time.time() - t1)
+        scores0.unpersist()
+    ew.unpersist()
+    verts.unpersist()
+    measured = times[warmup:]
+    mean = sum(measured) / len(measured)
+    return {
+        "build_s": round(build_s, 3),
+        "trial_s": [round(t, 3) for t in times],
+        "mean_s": round(mean, 3),
+        "edges_per_sec": round(m * supersteps / mean, 1),
     }
 
 
@@ -250,33 +335,49 @@ def main() -> None:
     spark.stop()
 
     if not os.environ.get("BENCH_SKIP_SCALING"):
-        # North-rule scaling evidence: same job + input at N and 4N cores
-        # (sandbox proxy for N vs 4N executors). N=2 → 4N=8 is the honest
-        # compute-bound regime on one box; beyond ~8 threads a single
+        # North-rule scaling evidence: same job + byte-identical parquet
+        # input at N and 4N cores (sandbox proxy for N vs 4N executors).
+        # The 1-vs-4 pair is measured A-B-B-A (1c, 4c, 4c, 1c): this box
+        # shares hardware and its background load drifts on the ~10 min
+        # timescale of a scaling sweep — sequential per-config blocks
+        # measured the same code at 0.74 and 1.02 efficiency in
+        # back-to-back full runs. In the time-symmetric order each
+        # config's two blocks average to the same midpoint in time, so
+        # linear drift cancels from the ratio. Beyond ~8 threads a single
         # socket's memory bandwidth saturates (a multi-node cluster adds
-        # bandwidth per node, local[k] cannot) — we report the 32-core
-        # point too so the saturation is visible, not hidden.
-        scaling = {}
-        per_core = {}
-        trials = {}
-        for cores in (1, 4, 8, 32):
+        # bandwidth per node, local[k] cannot) — the 8-/32-core points
+        # are reported so the saturation is visible, not hidden.
+        path, n_sc, m_sc = _prepare_scaling_input(SCALING_RMAT_SCALE, RMAT_DEG)
+        block_order = [1, 4, 4, 1, 8, 32]
+        blocks: list[dict] = []
+        for cores in block_order:
             s = _session(cores)
-            r = pr_superstep_throughput(s, SCALING_RMAT_SCALE, RMAT_DEG, PR_SUPERSTEPS)
-            per_core[cores] = r["edges_per_sec"]
-            trials[cores] = r["trial_s"]
+            r = pr_throughput_from_parquet(s, path, n_sc, m_sc, PR_SUPERSTEPS, trials=2, warmup=2)
+            r["cores"] = cores
+            blocks.append(r)
             s.stop()
-        # N=1 vs 4N=4: the cleanest single-box proxy for N vs 4N executors —
-        # the 1-core baseline has zero intra-job contention, like a
-        # 1-executor cluster. 8- and 32-core points reported alongside so
-        # the single-socket saturation curve is visible, not hidden.
-        scaling["cores_n"], scaling["cores_4n"] = 1, 4
-        scaling["edges_per_sec_n"] = per_core[1]
-        scaling["edges_per_sec_4n"] = per_core[4]
-        scaling["efficiency"] = round(per_core[4] / per_core[1] / 4.0, 3)
-        scaling["edges_per_sec_8"] = per_core[8]
-        scaling["edges_per_sec_32_saturated"] = per_core[32]
-        scaling["efficiency_2x4n"] = round(per_core[8] / per_core[1] / 8.0, 3)
-        scaling["trial_s"] = trials  # transparency: per-config raw trials
+        by_cores: dict[int, list[float]] = {}
+        for b in blocks:
+            by_cores.setdefault(b["cores"], []).append(b["mean_s"])
+        t1 = sum(by_cores[1]) / len(by_cores[1])
+        t4 = sum(by_cores[4]) / len(by_cores[4])
+        work = m_sc * PR_SUPERSTEPS
+        scaling = {
+            "cores_n": 1,
+            "cores_4n": 4,
+            "design": "ABBA blocks (1,4,4,1) + 8/32 tail; 2 warmup + 2 measured per block",
+            "n_vertices": n_sc,
+            "m_edges": m_sc,
+            "edges_per_sec_n": round(work / t1, 1),
+            "edges_per_sec_4n": round(work / t4, 1),
+            "efficiency": round((t1 / t4) / 4.0, 3),
+            "edges_per_sec_8": round(work / (sum(by_cores[8]) / len(by_cores[8])), 1),
+            "edges_per_sec_32_saturated": round(work / (sum(by_cores[32]) / len(by_cores[32])), 1),
+            "blocks": [
+                {"cores": b["cores"], "trial_s": b["trial_s"], "mean_s": b["mean_s"]} for b in blocks
+            ],
+        }
+        scaling["efficiency_2x4n"] = round((t1 / (sum(by_cores[8]) / len(by_cores[8]))) / 8.0, 3)
         result["scaling"] = scaling
 
     result["queries"] = queries
