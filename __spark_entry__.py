@@ -904,6 +904,23 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # IVF coarse-quantizer ANN (the brief's named alternative to LSH):
+    # deterministic seeded centroids + distributed Lloyd, probe the
+    # n_probe nearest cells, exact re-rank inside. Approximate recall by
+    # construction (n_probe < n_centroids) → no SQL oracle; pytest holds
+    # the exhaustive-probe == exact-engine identity + statistical recall.
+    from gms_spark.sim.ann import ivf_topk
+
+    corpus = _embeddings(spark, sf_dir)
+    queries_df = corpus.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(corpus, queries_df, k=10, n_centroids=16, n_probe=4).select(
+        "query_id", "vec_id", "cos", F.col("rank").cast("long").alias("rnk")
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     # Exact all-pairs as a distributed block-nested BLAS matmul — no
     # driver collect, no row-level cross join. Exactness is part of the
@@ -1023,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,  # hyperplane LSH (float) — no SQL oracle
+        "ann_ivf": _q_ann_ivf,  # approximate recall — no SQL oracle (exhaustive-probe identity + recall in pytest)
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # approximate recall — no SQL oracle (precision verified in pytest)
         # relational / windows

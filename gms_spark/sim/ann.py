@@ -338,3 +338,129 @@ def lsh_topk(
         .dropDuplicates(["query_id", "vec_id"])  # multiprobe can hit a vec twice
     )
     return _rank_topk(joined, k)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> tuple[np.ndarray, DataFrame]:
+    """IVF coarse quantizer → (centroids C×d unit-norm, corpus + cid).
+
+    Seed centroids are a deterministic hash-order corpus sample (no RNG —
+    same policy as the MinHash/LSH coefficients); ``lloyd_iters`` rounds
+    of distributed Lloyd refinement follow: assignment is a vectorized
+    per-partition argmax against the BROADCAST centroid matrix
+    (mapInPandas — the corpus never moves), the recompute is ONE
+    groupBy(cid) mean. Centroids live on the driver between rounds —
+    they are model parameters (C·d floats, like any ML coefficient
+    table), not data.
+
+    At 100 TB: corpus-side work is a single pass per Lloyd round with a
+    C×d broadcast; the only shuffle is the C-group mean. The cell list
+    (cid column) then bucket-partitions the corpus for probing.
+    """
+    spark = corpus.sparkSession
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_centroids)
+        .toPandas()
+    )
+    cents = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    out_schema = f"{id_col} long, {vec_col} array<float>, cid long"
+
+    def assigner(cents_arr: np.ndarray):
+        b = spark.sparkContext.broadcast(cents_arr)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = b.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                M /= np.linalg.norm(M, axis=1, keepdims=True)
+                cid = np.argmax(M @ C.T, axis=1)  # ties → smallest cid (argmax first hit)
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), vec_col: pdf[vec_col], "cid": cid})
+
+        return assign
+
+    assigned = corpus.select(id_col, vec_col)
+    for _ in range(lloyd_iters):
+        assigned_i = corpus.select(id_col, vec_col).mapInPandas(assigner(cents), out_schema)
+        means = (
+            assigned_i.select("cid", F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s.getField("m")).alias("mean"))
+            .toPandas()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        for _, row in means.iterrows():
+            v = np.asarray(row["mean"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[int(row["cid"])] = v / n
+        cents = new
+    assigned = corpus.select(id_col, vec_col).mapInPandas(assigner(cents), out_schema)
+    return cents, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest cells only.
+
+    Query-side cell selection is a driver-side Q×C argsort (queries and
+    centroids are both the small side); the candidate set is
+    corpus-cells ⋈ broadcast(probes) — per-query work scales with the
+    probed fraction, not the corpus. Exact cosine re-rank inside the
+    candidates (same rounding/tie policy as the exact engine, so
+    n_probe = n_centroids reproduces cosine_topk_blocked EXACTLY — the
+    pytest identity check).
+
+    Recall < 1 for n_probe < n_centroids by construction → no SQL
+    oracle; statistical recall + the exhaustive-probe identity are the
+    pytest contract (same policy as lsh_topk).
+    """
+    spark = corpus.sparkSession
+    cents, assigned = ivf_index(corpus, n_centroids, lloyd_iters, seed=seed)
+    qp = queries.select("query_id", "qvec").toPandas()  # small side only
+    qids = qp["query_id"].to_numpy()
+    Q = np.stack(qp["qvec"].to_numpy()).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Q @ cents.T
+    probe_rows = [
+        (int(qids[i]), int(c)) for i in range(len(qids)) for c in np.argsort(-sims[i], kind="stable")[:n_probe]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, cid long")
+    bq = spark.sparkContext.broadcast((qids, Q))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bq.value
+        idx = {int(q): i for i, q in enumerate(qids_)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            qrows = Q_[[idx[int(q)] for q in pdf["query_id"]]]
+            cos = np.round(np.einsum("ij,ij->i", qrows, M), 6)
+            yield pd.DataFrame({"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "cos": cos})
+
+    cand = assigned.join(F.broadcast(probes), "cid").select("query_id", "vec_id", "embedding")
+    scored = cand.mapInPandas(score, "query_id long, vec_id long, cos double")
+    return _rank_topk(scored, k)

@@ -88,3 +88,28 @@ def test_lsh_topk_recall(corpus, queries):
     approx = {(r["query_id"], r["vec_id"]) for r in lsh_topk(corpus, queries, k=5, n_planes=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5  # 4 planes + full 1-bit multiprobe, deterministic seed
+
+
+def test_ivf_exhaustive_probe_is_exact(corpus, queries):
+    """Probing every cell must reproduce the exact engine bit-for-bit
+    (same rounding + tie policy)."""
+    from gms_spark.sim.ann import ivf_topk
+
+    exact = {tuple(r) for r in cosine_topk_blocked(corpus, queries, k=10).collect()}
+    ivf = {tuple(r) for r in ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=8).collect()}
+    assert ivf == exact
+
+
+def test_ivf_recall_and_probe_monotonicity(corpus, queries):
+    from gms_spark.sim.ann import ivf_topk
+
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk_blocked(corpus, queries, k=10).collect()}
+
+    def recall(n_probe):
+        got = {(r["query_id"], r["vec_id"]) for r in ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=n_probe).collect()}
+        return len(got & exact) / len(exact)
+
+    r2, r4 = recall(2), recall(4)
+    assert r2 >= 0.3  # statistical, fixed seed
+    assert r4 >= r2  # more probes never reduce recall (supersets)
+    assert r4 >= 0.5
