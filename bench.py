@@ -142,7 +142,7 @@ def _prepare_scaling_input(scale: int, deg: int) -> tuple[str, int, int]:
 
     path = f"/tmp/gms_bench_spmv_s{scale}_d{deg}"
     meta = pathlib.Path(path + ".json")
-    if meta.exists():
+    if meta.exists() and (pathlib.Path(path) / "_SUCCESS").exists():
         d = json.loads(meta.read_text())
         return path, d["n"], d["m"]
     s = _session(32)
