@@ -242,6 +242,7 @@ def run_headline_queries(spark) -> dict:
         "token_stats",
         "language_id",
         "ann_topk",
+        "ann_ivf",
         "embedding_near_dup",
         "events_hourly",
         "sessionize",
