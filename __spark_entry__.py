@@ -133,6 +133,57 @@ sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id)
 """
 
 
+def _simhash_sql(threshold: float = 0.3, seed: int = 11, n_bands: int = 4) -> str:
+    """SimHash twin: 64 LCG bit votes over the UNIGRAM (k=1) shingle
+    dictionary, 16-bit band buckets built bit-by-bit (never packing the
+    full int64 — bit 63 would overflow BIGINT), candidate self-join,
+    exact 3-gram Jaccard verification (same tail as the minhash twin).
+    Replays gms_spark.text.dedup.simhash64 exactly: the engine's votes
+    are ((shingle*a_j + b_j) % 2^31-1) % 2 with _minhash_coeffs(64, seed).
+    """
+    from gms_spark.text.dedup import _minhash_coeffs
+
+    coeffs = _minhash_coeffs(64, seed)
+    bit_cols = ",\n    ".join(
+        f"CASE WHEN sum(2*(((shingle*{a} + {b}) % {P31}) % 2) - 1) > 0 THEN 1 ELSE 0 END AS bit{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    width = 64 // n_bands
+    band_rows = []
+    for bi in range(n_bands):
+        bucket = " + ".join(f"bit{bi * width + r}*{1 << r}" for r in range(width))
+        band_rows.append(f"SELECT doc_id, {bi} AS band, {bucket} AS bucket FROM sig")
+    bands = "\nUNION ALL\n".join(band_rows)
+    return f"""WITH {_SHINGLE_CTES},
+sh1 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(a) AS s FROM toks WHERE len(a) >= 1
+),
+dict1 AS MATERIALIZED (
+  SELECT s AS sh_str, CAST(dense_rank() OVER (ORDER BY s) AS BIGINT) AS shingle
+  FROM (SELECT DISTINCT s FROM sh1)
+),
+shid1 AS MATERIALIZED (SELECT sh1.doc_id, dict1.shingle FROM sh1 JOIN dict1 ON dict1.sh_str = sh1.s),
+sig AS MATERIALIZED (SELECT doc_id, {bit_cols} FROM shid1 GROUP BY doc_id),
+dict AS MATERIALIZED (
+  SELECT s AS sh_str, CAST(dense_rank() OVER (ORDER BY s) AS BIGINT) AS shingle
+  FROM (SELECT DISTINCT s FROM sh)
+),
+shid AS MATERIALIZED (SELECT sh.doc_id, dict.shingle FROM sh JOIN dict ON dict.sh_str = sh.s),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON y.band = x.band AND y.bucket = x.bucket AND x.doc_id < y.doc_id
+),
+ver AS (
+  SELECT c.a, c.b, count(*) AS cnt
+  FROM cand c JOIN shid xa ON xa.doc_id = c.a JOIN shid xb ON xb.doc_id = c.b AND xb.shingle = xa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT v.a, v.b, round(v.cnt * 1.0 / (sa.n + sb.n - v.cnt), 6) AS jaccard
+FROM ver v JOIN sz sa ON sa.doc_id = v.a JOIN sz sb ON sb.doc_id = v.b
+WHERE round(v.cnt * 1.0 / (sa.n + sb.n - v.cnt), 6) >= {threshold}"""
+
+
 def _minhash_sql(threshold: float = 0.3) -> str:
     from gms_spark.text.dedup import _minhash_coeffs
 
@@ -1031,7 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "jaccard_dedup": _q_jaccard_dedup,
         "minhash_dedup": _q_minhash_dedup,
-        "simhash_dedup": _q_simhash_dedup,  # uint64 bit mixing — no SQL oracle
+        "simhash_dedup": _q_simhash_dedup,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -1206,6 +1257,7 @@ SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
 FROM p JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
 WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.3""",
         "minhash_dedup": _minhash_sql(0.3),
+        "simhash_dedup": _simhash_sql(0.3),
         "token_stats": """
 WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents)
 SELECT doc_id,

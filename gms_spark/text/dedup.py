@@ -226,25 +226,28 @@ def minhash_lsh_join(
 def simhash64(docs: DataFrame, k: int = 1, seed: int = 11, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash: long) — 64-bit SimHash over shingle ids.
 
-    Arrow-batched numpy: per batch, expand each shingle id to 64 ±1 bit
-    votes via splitmix-style mixing, sum, take signs. The only Python
-    stage in this module, and it is O(shingles × 64) vectorized.
+    Bit votes are the engine's deterministic arithmetic-hash policy
+    (same as the MinHash coefficients, coloring priorities and LP
+    draws): vote_j(s) = ((s·a_j + b_j) mod 2^31-1) mod 2 with the
+    (a_j, b_j) of ``_minhash_coeffs(64, seed)`` — plain int64 modular
+    arithmetic, so a DuckDB oracle replays every fingerprint bit
+    exactly (no wrapping uint64 products anywhere). Arrow-batched
+    numpy, O(shingles × 64) vectorized; products stay < 2^51 (shingle
+    ids are dense, coefficients < 2^31).
     """
     sh = shingle_ids(docs, k, text_col)
     grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    coeffs = _minhash_coeffs(64, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             out = np.empty(len(pdf), dtype=np.int64)
             for i, arr in enumerate(pdf["shingles"]):
-                s = np.asarray(arr, dtype=np.uint64)
-                # mix each shingle to 64 bits: h = splitmix(s + seed)
-                x = (s + np.uint64(seed) + np.uint64(0x9E3779B97F4A7C15))
-                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-                x = x ^ (x >> np.uint64(31))
-                votes = ((x[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+                s = np.asarray(arr, dtype=np.int64)
+                votes = ((s[:, None] * A[None, :] + B[None, :]) % PTOK) & 1
                 sums = (2 * votes - 1).sum(axis=0)
                 bitsset = (sums > 0).astype(np.uint64)
                 out[i] = int((bitsset << bits).sum(dtype=np.uint64).astype(np.int64))
