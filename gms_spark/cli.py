@@ -10,10 +10,21 @@ Examples (cluster: spark-submit --py-files gms_spark.zip; sandbox: python):
 
 Inputs: .parquet edge tables (src,dst), classic edge-list formats
 (.el/.wel/.gr/.mtx/.graph), or --pages a pages parquet/Iceberg dir (url
-extraction runs first). Kernels: pagerank | components | labelprop |
-triangles | triangles_vertex. A checkpoint dir makes the run resumable
-(kill → relaunch with the same --run-id continues from the last
-committed superstep).
+extraction runs first). One kernel per invocation — the analog of the
+reference's per-kernel benchmark binaries (gms/benchmarks/*.cc):
+
+  north rule     pagerank | components | labelprop | triangles |
+                 triangles_vertex
+  traversal      bfs | bfs_do | sssp | betweenness   (--source, --bc-samples;
+                 sssp uses the input's weight column or deterministic
+                 inserted weights, GAPBS-style)
+  orderings      coreness | degeneracy
+  mining         kclique | kclique_star | mce | subiso_square   (--k)
+  coloring       coloring (--variant jp_random|jp_lf|jp_sl|johansson)
+  similarity     vertex_similarity | link_prediction   (--metric, --topq)
+
+A checkpoint dir makes the superstep kernels resumable (kill → relaunch
+with the same --run-id continues from the last committed superstep).
 """
 
 from __future__ import annotations
@@ -26,7 +37,10 @@ import time
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kernel", required=True,
-                   choices=["pagerank", "components", "labelprop", "triangles", "triangles_vertex"])
+                   choices=["pagerank", "components", "labelprop", "triangles", "triangles_vertex",
+                            "bfs", "bfs_do", "sssp", "betweenness", "coreness", "degeneracy",
+                            "kclique", "kclique_star", "mce", "subiso_square", "coloring",
+                            "vertex_similarity", "link_prediction"])
     p.add_argument("--input", required=True, help="edge table (.parquet/.el/.wel/.gr/.mtx/.graph)")
     p.add_argument("--pages", action="store_true", help="input is a pages table; extract links first")
     p.add_argument("--output", default=None, help="result parquet dir")
@@ -36,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--lp-iters", type=int, default=5)
     p.add_argument("--no-symmetrize", action="store_true")
+    p.add_argument("--source", type=int, default=0, help="bfs/bfs_do/sssp source vertex")
+    p.add_argument("--k", type=int, default=4, help="clique size for kclique/kclique_star")
+    p.add_argument("--bc-samples", type=int, default=0, help="betweenness: 0 = exact, else sample count")
+    p.add_argument("--variant", default="jp_random",
+                   choices=["jp_random", "jp_lf", "jp_sl", "johansson"], help="coloring variant")
+    p.add_argument("--metric", default="adamic_adar", help="link_prediction similarity metric")
+    p.add_argument("--topq", type=int, default=20, help="link_prediction top-q")
     args = p.parse_args(argv)
 
     from gms_spark.session import get_spark
@@ -49,11 +70,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.pages:
         _, edges = edges_from_pages(spark.read.parquet(args.input))
     elif args.input.rsplit(".", 1)[-1].lower() in ("el", "wel", "gr", "mtx", "graph"):
-        edges = read_edge_list(spark, args.input).select("src", "dst")
+        edges = read_edge_list(spark, args.input)
     else:  # parquet file or directory
-        edges = spark.read.parquet(args.input).select("src", "dst")
+        edges = spark.read.parquet(args.input)
+    keep = [c for c in ("src", "dst", "weight") if c in edges.columns]
+    edges = edges.select(*keep)
 
-    graph = edges if args.no_symmetrize else build_undirected(edges)
+    plain = edges.select("src", "dst")
+    graph = plain if args.no_symmetrize else build_undirected(plain)
     io = TableIO(args.checkpoint) if args.checkpoint else None
     t0 = time.time()
 
@@ -77,10 +101,79 @@ def main(argv: list[str] | None = None) -> int:
 
         t = triangle_count_total(graph)
         out, iters = spark.createDataFrame([(t,)], "triangles long"), 1
-    else:
+    elif args.kernel == "triangles_vertex":
         from gms_spark.graph.triangles import triangle_count_per_vertex
 
         out, iters = triangle_count_per_vertex(graph), 1
+    elif args.kernel in ("bfs", "bfs_do"):
+        from gms_spark.graph.traversal import bfs, bfs_direction_optimizing
+
+        fn = bfs_direction_optimizing if args.kernel == "bfs_do" else bfs
+        out = fn(graph, args.source, max_iters=args.iters)
+        iters = out.agg({"dist": "max"}).first()[0] or 0
+    elif args.kernel == "sssp":
+        from gms_spark.graph.traversal import sssp
+
+        if "weight" in edges.columns:  # .wel / weighted parquet: symmetrize keeping min weight
+            w = edges.select("src", "dst", "weight")
+            wgraph = w if args.no_symmetrize else (
+                w.unionAll(w.select(w.dst.alias("src"), w.src.alias("dst"), "weight"))
+                .groupBy("src", "dst").min("weight").withColumnRenamed("min(weight)", "weight")
+            )
+        else:  # GAPBS-style deterministic weight insertion on the built graph
+            from gms_spark.graph.generators import insert_weights
+
+            wgraph = insert_weights(graph)
+        out, iters = sssp(wgraph, args.source, max_iters=args.iters), 0
+    elif args.kernel == "betweenness":
+        from gms_spark.graph.betweenness import betweenness_centrality
+
+        sources = None
+        if args.bc_samples:
+            from gms_spark.graph.build import vertices as _verts
+
+            sources = [
+                int(r["vertex"])
+                for r in _verts(graph).orderBy("vertex").limit(args.bc_samples).collect()
+            ]
+        out, iters = betweenness_centrality(graph, sources=sources), 1
+    elif args.kernel in ("coreness", "degeneracy"):
+        from gms_spark.graph.orderings import degeneracy_order
+
+        res = degeneracy_order(graph)
+        out = res.select("vertex", "core") if args.kernel == "coreness" else res
+        iters = int(res.agg({"core": "max"}).first()[0] or 0)  # = degeneracy
+    elif args.kernel == "kclique":
+        from gms_spark.graph.kclique import kclique_count
+
+        c = kclique_count(graph, args.k)
+        out, iters = spark.createDataFrame([(args.k, c)], "k long, cliques long"), 1
+    elif args.kernel == "kclique_star":
+        from gms_spark.graph.kclique import kclique_star_list
+
+        out, iters = kclique_star_list(graph, args.k), 1
+    elif args.kernel == "mce":
+        from gms_spark.graph.mce import maximal_cliques
+
+        out, iters = maximal_cliques(graph), 1
+    elif args.kernel == "subiso_square":
+        from gms_spark.graph.subiso import subgraph_match
+
+        out, iters = subgraph_match(graph, [(0, 1), (1, 2), (2, 3), (3, 0)]), 1
+    elif args.kernel == "coloring":
+        from gms_spark.graph import coloring as col
+
+        res = {"jp_random": col.jp_random, "jp_lf": col.jp_lf, "jp_sl": col.jp_sl,
+               "johansson": col.johansson}[args.variant](graph)
+        out, iters = res.colors, res.rounds
+    elif args.kernel == "vertex_similarity":
+        from gms_spark.graph.similarity import vertex_similarity
+
+        out, iters = vertex_similarity(graph), 1
+    else:  # link_prediction
+        from gms_spark.graph.similarity import link_prediction_topq
+
+        out, iters = link_prediction_topq(graph, q=args.topq, metric=args.metric), 1
 
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
