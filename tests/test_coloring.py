@@ -46,3 +46,20 @@ def test_compare_harness_and_determinism(edges_df_factory):
     a = sorted((r["vertex"], r["color"]) for r in jp_lf(graph).colors.collect())
     b = sorted((r["vertex"], r["color"]) for r in jp_lf(graph).colors.collect())
     assert a == b
+
+
+def test_jp_proper_on_rmat_hub_graph(spark):
+    """Propriety + palette bound on a skewed R-MAT graph (power-law hubs):
+    the JP round's only per-vertex aggregate is collect_set of neighbor
+    COLORS — bounded by the palette, not the hub degree — so hubs flow
+    through as plain edge rows with map-side partial aggregation."""
+    from gms_spark.graph.build import build_undirected, degrees
+    from gms_spark.graph.generators import rmat_el
+
+    und = build_undirected(rmat_el(spark, scale=10, deg=8)).persist()
+    max_deg = degrees(und).agg(F.max("degree")).first()[0]
+    res = jp_random(und)
+    assert is_proper(und, res.colors)
+    assert res.colors.where(F.col("color").isNull()).count() == 0
+    assert res.n_colors <= max_deg + 1
+    und.unpersist()
