@@ -33,11 +33,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from gms_spark.graph.build import degrees, vertices
-from gms_spark.runtime.superstep import iterate, truncate_plan
+from gms_spark.runtime.superstep import iterate
 
 
 @dataclass
@@ -92,25 +92,26 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
                 .alias("new_color"),
             )
         )
-        # self-truncate BEFORE the delta count: the round executes ONCE
-        # and the count reads the cache (truncate_plan also keeps stats
-        # real — bare checkpoints compound size estimates exponentially;
-        # see runtime/superstep.py). iterate gets truncate_every=0: its
-        # persist() is a no-op on the already-persisted frame and it
-        # still unpersists the previous round's state.
-        new = truncate_plan(
-            state.join(cand, "vertex", "left").select(
-                "vertex", F.coalesce("color", "new_color").alias("color"), "prio"
-            )
+        # the uncolored count rides the round's own materialization via
+        # df.observe (iterate truncates per round — truncate_plan keeps
+        # stats real; bare checkpoints compound size estimates
+        # exponentially, see runtime/superstep.py): ONE job per round.
+        obs = Observation()
+        new = (
+            state.join(cand, "vertex", "left")
+            .select("vertex", F.coalesce("color", "new_color").alias("color"), "prio")
+            .observe(obs, F.sum(F.when(F.col("color").isNull(), 1).otherwise(0)).alias("delta"))
         )
-        return new, float(new.where(F.col("color").isNull()).count())
+        return new, obs
 
-    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel=kernel, truncate_every=0)
-    if res.deltas and res.deltas[-1] > 0:
-        raise RuntimeError(f"{kernel}: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
-    colors = res.state.select("vertex", "color")
-    n_colors = colors.agg(F.countDistinct("color")).first()[0]
-    edges.unpersist()
+    try:
+        res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel=kernel, truncate_every=1)
+        if res.deltas and res.deltas[-1] > 0:
+            raise RuntimeError(f"{kernel}: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
+        colors = res.state.select("vertex", "color")
+        n_colors = colors.agg(F.countDistinct("color")).first()[0]
+    finally:
+        edges.unpersist()
     return ColoringResult(colors, res.iterations, int(n_colors))
 
 
@@ -199,21 +200,26 @@ def johansson(edges: DataFrame, seed: int = 5, max_iters: int = 500) -> Coloring
             .select("vertex")
             .distinct()
         )
-        new = truncate_plan(  # self-truncate before the count — see jp_color
+        # observed uncolored count rides the round's job — see jp_color
+        obs = Observation()
+        new = (
             picked.join(conflicts.withColumn("_bad", F.lit(1)), "vertex", "left")
             .select(
                 "vertex",
                 F.coalesce("color", F.when(F.col("_bad").isNull(), F.col("pick"))).alias("color"),
             )
+            .observe(obs, F.sum(F.when(F.col("color").isNull(), 1).otherwise(0)).alias("delta"))
         )
-        return new, float(new.where(F.col("color").isNull()).count())
+        return new, obs
 
-    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel="coloring_johansson", truncate_every=0)
-    if res.deltas and res.deltas[-1] > 0:
-        raise RuntimeError(f"johansson: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
-    colors = res.state.select("vertex", "color")
-    n_colors = colors.agg(F.countDistinct("color")).first()[0]
-    edges.unpersist()
+    try:
+        res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel="coloring_johansson", truncate_every=1)
+        if res.deltas and res.deltas[-1] > 0:
+            raise RuntimeError(f"johansson: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
+        colors = res.state.select("vertex", "color")
+        n_colors = colors.agg(F.countDistinct("color")).first()[0]
+    finally:
+        edges.unpersist()
     return ColoringResult(colors, res.iterations, int(n_colors))
 
 

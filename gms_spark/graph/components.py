@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from gms_spark.graph.build import vertices
@@ -72,12 +72,17 @@ def connected_components(
             )
         return new
 
-    def changed_count(new: DataFrame, old: DataFrame) -> int:
-        return (
-            new.join(old.select("vertex", F.col("component").alias("old")), "vertex")
-            .where(F.col("component") != F.col("old"))
-            .count()
+    def _fuse_changed(new: DataFrame, old: DataFrame) -> tuple[DataFrame, Observation]:
+        """Ride the changed-row count on the new-label plan (df.observe):
+        the compare-join runs INSIDE the materialization job — one job
+        per round/chunk instead of materialize + count."""
+        obs = Observation()
+        fused = (
+            new.join(old.select("vertex", F.col("component").alias("_old")), "vertex")
+            .observe(obs, F.sum(F.when(F.col("component") != F.col("_old"), 1).otherwise(0)).alias("delta"))
+            .select("vertex", "component")
         )
+        return fused, obs
 
     if io is None and check_every > 1:
         labels = labels0.persist()
@@ -88,18 +93,18 @@ def connected_components(
             new = labels
             for _ in range(k):
                 new = one_round(new)
+            new, obs = _fuse_changed(new, labels)
             new = new.localCheckpoint(eager=True)
             done += k
-            ch = changed_count(new, labels)
+            ch = int(obs.get["delta"] or 0)
             labels.unpersist()
             labels = new
             if ch == 0:
                 break
         return ComponentsResult(labels, done)
 
-    def step(labels: DataFrame, i: int) -> tuple[DataFrame, float]:
-        new = one_round(labels)
-        return new, float(changed_count(new, labels))
+    def step(labels: DataFrame, i: int) -> tuple[DataFrame, object]:
+        return _fuse_changed(one_round(labels), labels)
 
     res = iterate(labels0, step, max_iters=max_iters, tol=0.0, io=io, kernel="components", run_id=run_id)
     return ComponentsResult(res.state, res.iterations)

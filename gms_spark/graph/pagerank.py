@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from gms_spark.graph.build import degrees, vertices
@@ -137,16 +137,23 @@ def pagerank(
             return damping * dmass / n
         return 0.0
 
-    def step(scores: DataFrame, i: int) -> tuple[DataFrame, float]:
+    def _fuse_delta(new: DataFrame, old: DataFrame) -> tuple[DataFrame, Observation]:
+        """Ride the L1 delta on the new-state plan via df.observe: the
+        join against the old scores happens INSIDE the materialization
+        job (one job per superstep instead of materialize + delta-agg)."""
+        obs = Observation()
+        fused = (
+            new.join(old.select("vertex", F.col("score").alias("_old")), "vertex")
+            .observe(obs, F.sum(F.abs(F.col("score") - F.col("_old"))).alias("delta"))
+            .select("vertex", "score")
+        )
+        return fused, obs
+
+    def step(scores: DataFrame, i: int) -> tuple[DataFrame, object]:
         new = one_superstep(scores, _extra(scores))
         if fixed_iters is not None:
             return new, float("inf")
-        delta = (
-            new.join(scores.select("vertex", F.col("score").alias("old")), "vertex")
-            .agg(F.sum(F.abs(F.col("score") - F.col("old"))))
-            .first()[0]
-        )
-        return new, float(delta)
+        return _fuse_delta(new, scores)
 
     iters = fixed_iters if fixed_iters is not None else max_iters
 
@@ -162,15 +169,15 @@ def pagerank(
             new = scores
             for _ in range(k):
                 new = one_superstep(new)
+            if fixed_iters is None:
+                # the chunk's delta rides the checkpoint job (df.observe):
+                # ONE job per chunk, not checkpoint + delta-agg
+                new, obs = _fuse_delta(new, scores)
             new = new.localCheckpoint(eager=True)
             done += k
             if fixed_iters is None:
-                delta = (
-                    new.join(scores.select("vertex", F.col("score").alias("old")), "vertex")
-                    .agg(F.sum(F.abs(F.col("score") - F.col("old"))))
-                    .first()[0]
-                )
-                deltas.append(float(delta))
+                delta = float(obs.get["delta"])
+                deltas.append(delta)
                 scores.unpersist()
                 scores = new
                 if delta <= tol * k:
@@ -179,12 +186,9 @@ def pagerank(
                     # confirm with ONE extra superstep whose own delta
                     # must be <= tol (a single job at the very end; loop
                     # continues if the confirmation fails).
-                    confirm = one_superstep(scores).localCheckpoint(eager=True)
-                    d1 = (
-                        confirm.join(scores.select("vertex", F.col("score").alias("old")), "vertex")
-                        .agg(F.sum(F.abs(F.col("score") - F.col("old"))))
-                        .first()[0]
-                    )
+                    confirm, obs1 = _fuse_delta(one_superstep(scores), scores)
+                    confirm = confirm.localCheckpoint(eager=True)
+                    d1 = float(obs1.get["delta"])
                     done += 1
                     deltas.append(float(d1))
                     scores.unpersist()

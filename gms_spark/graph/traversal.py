@@ -22,7 +22,7 @@ Reference semantics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from gms_spark.runtime.superstep import iterate, truncate_plan
@@ -32,6 +32,7 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
     """(vertex, dist) hop distances from source; unreachable omitted."""
     spark = edges.sparkSession
     dist0 = spark.createDataFrame([(source, 0)], "vertex long, dist long")
+    seen = {"n": 1.0}  # rows in the current dist table (source only at i=0)
 
     def step(dist: DataFrame, i: int):
         frontier = dist.where(F.col("dist") == i)
@@ -41,14 +42,21 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
             .distinct()
             .join(dist.select("vertex"), "vertex", "left_anti")
         )
-        # self-truncate before the delta count: the round executes once,
-        # the counts read the cache, and stats stay real (bare
-        # checkpoints compound size estimates exponentially across
-        # supersteps — see runtime/superstep.py:truncate_plan)
-        new = truncate_plan(dist.unionAll(cand))
-        return new, float(new.count() - dist.count())
+        # delta = rows added this level, observed by the materialization
+        # job itself (iterate truncates per round): ONE job per level,
+        # no separate counts.
+        obs = Observation()
+        new = dist.unionAll(cand).observe(obs, F.count(F.lit(1)).alias("n"))
 
-    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="bfs", truncate_every=0)
+        def resolve() -> float:
+            n = float(obs.get["n"] or 0)
+            d = n - seen["n"]
+            seen["n"] = n
+            return d
+
+        return new, resolve
+
+    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="bfs", truncate_every=1)
     if res.deltas and res.deltas[-1] > 0:
         raise RuntimeError(f"bfs did not converge within {max_iters} rounds")
     return res.state
@@ -142,20 +150,29 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
             .groupBy("vertex")
             .agg(F.min("nd").alias("nd"))
         )
-        merged = truncate_plan(  # self-truncate before the delta — see bfs
-            dist.join(relax, "vertex", "full").select(
+        # the full join already carries (old dist, relaxed nd) side by
+        # side — observe the improved-row count on the SAME plan, so one
+        # Bellman–Ford round is ONE job (no compare-join, no recount).
+        obs = Observation()
+        merged = (
+            dist.withColumnRenamed("dist", "_old")
+            .join(relax, "vertex", "full")
+            .select(
                 "vertex",
-                F.least(F.coalesce("dist", F.lit(float("inf"))), F.coalesce("nd", F.lit(float("inf")))).alias("dist"),
+                F.least(F.coalesce("_old", F.lit(float("inf"))), F.coalesce("nd", F.lit(float("inf")))).alias("dist"),
+                "_old",
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("_old").isNull() | (F.col("dist") < F.col("_old")), 1).otherwise(0)
+                ).alias("delta"),
+            )
+            .select("vertex", "dist")
         )
-        changed = (
-            merged.join(dist.select("vertex", F.col("dist").alias("old")), "vertex", "left")
-            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .count()
-        )
-        return merged, float(changed)
+        return merged, obs
 
-    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="sssp", truncate_every=0)
+    res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="sssp", truncate_every=1)
     if res.deltas and res.deltas[-1] > 0:
         raise RuntimeError(f"sssp did not converge within {max_iters} rounds")
     return res.state

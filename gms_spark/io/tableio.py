@@ -35,12 +35,19 @@ class TableIO:
     def _sdir(self, table: str, snapshot: int) -> str:
         return os.path.join(self._tdir(table), f"snap={snapshot:08d}")
 
-    def write(self, df: DataFrame, table: str, snapshot: int, meta: dict | None = None) -> str:
-        """Write one atomic snapshot; visible only after the marker lands."""
+    def write(self, df: DataFrame, table: str, snapshot: int, meta=None) -> str:
+        """Write one atomic snapshot; visible only after the marker lands.
+
+        ``meta`` may be a dict or a 0-arg callable evaluated AFTER the
+        parquet job — so metrics observed by the write itself (an
+        ``Observation`` riding ``df``) can land in the commit marker.
+        """
         d = self._sdir(table, snapshot)
         if os.path.exists(d):
             shutil.rmtree(d)  # retry of an uncommitted write
         df.write.mode("overwrite").parquet(d)
+        if callable(meta):
+            meta = meta()
         with open(os.path.join(d, "_COMMITTED"), "w") as f:
             json.dump({"ts": time.time(), **(meta or {})}, f)
         return d

@@ -28,7 +28,7 @@ import uuid
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from gms_spark.io.tableio import TableIO
@@ -71,9 +71,32 @@ def _partition_counts(df: DataFrame) -> list[tuple[int, int]]:
     return [(int(r["partition_id"]), int(r["count"])) for r in rows]
 
 
+def resolve_delta(delta) -> float:
+    """Resolve a step's delta AFTER its state materialized.
+
+    Steps may return the convergence scalar three ways:
+      float            — computed eagerly inside the step (legacy: a
+                         second Spark job per superstep);
+      Observation      — attached to the new state via ``df.observe``;
+                         the metric (alias ``delta``) is collected BY the
+                         materialization action itself (persist+count,
+                         localCheckpoint(eager=True) and parquet writes
+                         all fire it — verified empirically), so each
+                         superstep is ONE job, no extra driver round trip;
+      callable () -> float — for deltas derived from an observation plus
+                         driver state (e.g. BFS's new-minus-old count).
+    """
+    if isinstance(delta, Observation):
+        v = delta.get["delta"]
+        return float(v) if v is not None else 0.0  # null agg == empty state
+    if callable(delta):
+        return float(delta())
+    return float(delta)
+
+
 def iterate(
     state: DataFrame,
-    step: Callable[[DataFrame, int], tuple[DataFrame, float]],
+    step: Callable[[DataFrame, int], tuple[DataFrame, object]],
     max_iters: int,
     tol: float = 0.0,
     io: TableIO | None = None,
@@ -86,7 +109,8 @@ def iterate(
 
     ``delta`` semantics are kernel-defined (L1 norm for PageRank, changed
     row count for CC/LP); the loop stops when ``delta <= tol`` or after
-    ``max_iters`` supersteps.
+    ``max_iters`` supersteps. ``delta`` may be a float, an ``Observation``
+    riding the new state, or a 0-arg callable — see ``resolve_delta``.
     """
     spark = state.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -117,7 +141,17 @@ def iterate(
         t0 = time.time()
         new_state, delta = step(state, i)
         if io is not None:
-            io.write(new_state, table, i, meta={"delta": delta})
+            # The parquet job fires any Observation riding new_state;
+            # resolve inside the meta callback (exactly once) so the
+            # commit marker still records the delta.
+            holder: dict[str, float] = {}
+
+            def _meta():
+                holder["delta"] = resolve_delta(delta)
+                return {"delta": holder["delta"]}
+
+            io.write(new_state, table, i, meta=_meta)
+            delta = holder["delta"]
             committed = io.read(spark, table, i).persist()
             committed.count()
             wall_ms = (time.time() - t0) * 1000.0
@@ -152,6 +186,7 @@ def iterate(
             else:
                 new_state = new_state.persist()
                 new_state.count()
+            delta = resolve_delta(delta)  # fired by the materialization above
             state.unpersist()
             state = new_state
         deltas.append(float(delta))
