@@ -729,9 +729,12 @@ def _q_coloring_jp_lf(spark, sf_dir):
 
 
 def _q_coreness(spark, sf_dir):
-    # Exact k-core numbers via distributed Matula batch peel; the oracle
-    # computes the same fixpoint by a DIFFERENT algorithm (iterated
-    # neighbor H-index, Lü et al. 2016) — a cross-algorithm check.
+    # Exact k-core numbers via the distributed H-index fixpoint (Lü et
+    # al. 2016) — one observe-fused job per round, round count = the
+    # fixpoint depth (the scale path; the Matula batch peel pays
+    # #peel-levels × cascade-depth driver rounds and stays for ordering
+    # consumers). The peel-vs-H-index cross-algorithm identity is
+    # asserted in tests/test_orderings_kcliques.py.
     from gms_spark.graph.orderings import coreness
 
     return coreness(doc_graph(spark, sf_dir))

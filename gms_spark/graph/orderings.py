@@ -99,18 +99,34 @@ def adg_order(
     bare checkpoints inherit stats estimates that compound
     exponentially across peel rounds; see runtime/superstep.py).
     """
+    from pyspark.sql import Observation
+
     olds: list[DataFrame] = []
     remaining = truncate_plan(edges)
     alive = truncate_plan(vertices(edges))
+    olds.append(alive)  # later rounds rebind `alive` to lazy filters over the deg cache
     peeled_parts: list[DataFrame] = []
     batch = 0
+    prev_deg: DataFrame | None = None
     while batch < max_rounds:
         # degree over ALIVE vertices with 0-fill: a vertex whose last edge
         # disappeared when its neighbors were peeled must itself be peeled
         # this round (degree 0 ≤ every boundary), not silently dropped.
-        deg = alive.join(degrees(remaining), "vertex", "left").fillna(0, ["degree"])
-        row = deg.agg(F.avg("degree").alias("avg"), F.count("*").alias("n")).first()
-        if row["n"] == 0 or row["avg"] is None:
+        # Cache the round's degree table ONCE with the boundary aggregate
+        # riding its materialization (df.observe) — the peel snapshot,
+        # the next alive set and the edge semi-joins all read the cache
+        # instead of re-running the join+groupBy per consumer.
+        obs = Observation()
+        deg = truncate_plan(
+            alive.join(degrees(remaining), "vertex", "left")
+            .fillna(0, ["degree"])
+            .observe(obs, F.avg("degree").alias("avg"), F.count(F.lit(1)).alias("n"))
+        )
+        if prev_deg is not None:
+            prev_deg.unpersist()
+        prev_deg = deg
+        row = obs.get
+        if not row["n"] or row["avg"] is None:
             break
         if boundary == "avg":  # inline fast path (one agg already done)
             b = (1.0 + eps) * float(row["avg"])
@@ -121,13 +137,15 @@ def adg_order(
         peel = deg.where(F.col("degree") <= b).select("vertex", F.lit(batch).alias("batch"))
         peeled_parts.append(peel.localCheckpoint(eager=True))
         keep = deg.where(F.col("degree") > b).select("vertex")
-        olds.extend((alive, remaining))
-        alive = truncate_plan(keep)
+        olds.append(remaining)
+        alive = keep  # lazy one-filter plan over the cached deg
         remaining = truncate_plan(
             remaining.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
         )
         batch += 1
+    if prev_deg is not None:
+        olds.append(prev_deg)
 
     all_batches = peeled_parts[0]
     for p in peeled_parts[1:]:
@@ -174,12 +192,19 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000) -> DataFrame
         # materialization) and the edge semi-joins all read it instead
         # of re-running the join+groupBy per consumer (measured 49.6 s →
         # 37 s for the sf0.1 coreness query).
-        deg = truncate_plan(alive.join(degrees(remaining), "vertex", "left").fillna(0, ["degree"]))
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        deg = truncate_plan(
+            alive.join(degrees(remaining), "vertex", "left")
+            .fillna(0, ["degree"])
+            .observe(obs, F.count(F.lit(1)).alias("n"), F.min("degree").alias("m"))
+        )
         if prev_deg is not None:
             prev_deg.unpersist()
         prev_deg = deg
-        row = deg.agg(F.count("*").alias("n"), F.min("degree").alias("m")).first()
-        if int(row["n"]) == 0:
+        row = obs.get
+        if int(row["n"] or 0) == 0:
             break
         k = max(k, int(row["m"]))  # level jump when the ≤k set is empty
         peel = deg.where(F.col("degree") <= k).select(
@@ -207,6 +232,93 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000) -> DataFrame
     return res
 
 
-def coreness(edges: DataFrame) -> DataFrame:
-    """(vertex, core) — exact k-core numbers (projection of the peel)."""
-    return degeneracy_order(edges).select("vertex", "core")
+def coreness_hindex(
+    edges: DataFrame, max_rounds: int = 200, check_every: int = 2, return_rounds: bool = False
+):
+    """(vertex, core) — exact k-core numbers by iterated neighbor H-index.
+
+    c0(v) = degree(v); c_{t+1}(v) = H(c_t over N(v)) where H(multiset)
+    = max_i min(i, i-th largest value). The operator is monotone and
+    c1 ≤ c0, so the sequence is pointwise non-increasing and converges
+    exactly to the core number (Lü et al., Nature Communications 2016).
+
+    This is the SCALE path for core numbers: round count = H-index
+    convergence depth (small for web graphs), NOT #peel-levels ×
+    cascade-depth like the Matula batch peel (degeneracy_order, kept
+    for ordering consumers; the two are cross-checked in
+    tests/test_orderings_kcliques.py). ``check_every`` rounds chain
+    lazily per Spark job with the chunk's changed-count riding the
+    materialization via df.observe — sound because values are pointwise
+    non-increasing, so chunk-start == chunk-end proves every
+    intermediate round was a no-op. Input must be symmetrized.
+    """
+    from pyspark.sql import Observation, Window
+
+    from gms_spark.runtime.superstep import truncate_plan
+
+    edges = edges.persist()
+    try:
+        c = truncate_plan(
+            vertices(edges)
+            .join(degrees(edges), "vertex", "left")
+            .fillna(0, ["degree"])
+            .select("vertex", F.col("degree").cast("long").alias("core"))
+        )
+
+        def one_round(cur: DataFrame) -> DataFrame:
+            nb = edges.join(
+                cur.select(F.col("vertex").alias("dst"), F.col("core").alias("nval")), "dst"
+            ).select(F.col("src").alias("vertex"), "nval")
+            # H from grouped values, not per-item ranks: H = max over
+            # distinct v of min(count(values ≥ v), v). The groupBy
+            # partial-aggregates map-side BEFORE the shuffle, so the
+            # exchange carries (vertex, distinct value, count) — and a
+            # hub's window shrinks from degree rows to ≤ (max core + 1)
+            # distinct values: the skew control for 10^6-degree hubs.
+            counts = nb.groupBy("vertex", "nval").agg(F.count(F.lit(1)).alias("cnt"))
+            w = (
+                Window.partitionBy("vertex")
+                .orderBy(F.col("nval").desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            h = (
+                counts.withColumn("ccnt", F.sum("cnt").over(w))
+                .groupBy("vertex")
+                .agg(F.max(F.least(F.col("ccnt"), F.col("nval"))).alias("h"))
+            )
+            return (
+                cur.join(h, "vertex", "left")
+                .select("vertex", F.coalesce("h", F.lit(0)).cast("long").alias("core"))
+            )
+
+        done = 0
+        converged = False
+        while done < max_rounds:
+            k = min(check_every, max_rounds - done)
+            new = c
+            for _ in range(k):
+                new = one_round(new)
+            obs = Observation()
+            fused = (
+                new.join(c.select("vertex", F.col("core").alias("_old")), "vertex")
+                .observe(obs, F.sum(F.when(F.col("core") != F.col("_old"), 1).otherwise(0)).alias("delta"))
+                .select("vertex", "core")
+            )
+            fused = truncate_plan(fused)
+            done += k
+            ch = int(obs.get["delta"] or 0)
+            c.unpersist()
+            c = fused
+            if ch == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(f"coreness H-index did not converge within {max_rounds} rounds")
+        return (c, done) if return_rounds else c
+    finally:
+        edges.unpersist()
+
+
+def coreness(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
+    """(vertex, core) — exact k-core numbers (H-index fixpoint path)."""
+    return coreness_hindex(edges, max_rounds=max_rounds)

@@ -148,6 +148,34 @@ def test_degeneracy_order_exact(graph):
         assert fwd <= got_core[v], (v, fwd, got_core[v])
 
 
+def test_coreness_hindex_matches_peel(graph):
+    """Cross-algorithm identity: the H-index fixpoint (the scale path
+    behind the coreness query) must equal the Matula batch peel's core
+    numbers vertex-for-vertex."""
+    from gms_spark.graph.orderings import coreness_hindex, degeneracy_order
+
+    el, df = graph
+    want = {r["vertex"]: r["core"] for r in degeneracy_order(df).collect()}
+    got = {r["vertex"]: r["core"] for r in coreness_hindex(df).collect()}
+    assert got == want
+
+
+def test_coreness_hindex_rounds_rmat(spark):
+    """Round-count scaling: on a skewed R-MAT graph the H-index fixpoint
+    must converge in rounds ≪ n (the Matula peel pays #levels × cascade
+    depth; the fixpoint depth is what makes coreness web-scale)."""
+    from gms_spark.graph.build import build_undirected
+    from gms_spark.graph.generators import rmat_el
+    from gms_spark.graph.orderings import coreness_hindex
+
+    und = build_undirected(rmat_el(spark, scale=11, deg=8, seed=3)).persist()
+    n = und.select("src").distinct().count()
+    cores, rounds = coreness_hindex(und, return_rounds=True)
+    assert rounds * 20 < n, (rounds, n)  # ≪ n: tens of rounds on ~2k vertices
+    assert cores.count() == n
+    und.unpersist()
+
+
 def test_mining_degeneracy_order_same_counts(spark, edges_df_factory):
     """order='degeneracy' is a performance knob: identical counts/cliques."""
     from gms_spark.graph.mce import maximal_cliques
