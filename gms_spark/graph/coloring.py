@@ -60,7 +60,9 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
     """
     # the edge table is re-joined EVERY round — materialize it once
     # instead of re-deriving an arbitrary upstream plan per superstep
-    edges = edges.persist()
+    from gms_spark.graph.build import stage_edges
+
+    edges = stage_edges(edges)
     state0 = vertices(edges).join(prio, "vertex").select("vertex", F.lit(None).cast("long").alias("color"), "prio")
 
     def step(state: DataFrame, i: int):
@@ -104,14 +106,11 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
         )
         return new, obs
 
-    try:
-        res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel=kernel, truncate_every=1)
-        if res.deltas and res.deltas[-1] > 0:
-            raise RuntimeError(f"{kernel}: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
-        colors = res.state.select("vertex", "color")
-        n_colors = colors.agg(F.countDistinct("color")).first()[0]
-    finally:
-        edges.unpersist()
+    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel=kernel, truncate_every=1)
+    if res.deltas and res.deltas[-1] > 0:
+        raise RuntimeError(f"{kernel}: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
+    colors = res.state.select("vertex", "color")
+    n_colors = colors.agg(F.countDistinct("color")).first()[0]
     return ColoringResult(colors, res.iterations, int(n_colors))
 
 
@@ -172,7 +171,9 @@ def johansson(edges: DataFrame, seed: int = 5, max_iters: int = 500) -> Coloring
     LCG mix (SQL-replayable, like the MinHash coefficients), with the
     round index folded in; ≤ Δ+1 colors by construction.
     """
-    edges = edges.persist()
+    from gms_spark.graph.build import stage_edges
+
+    edges = stage_edges(edges)
     max_deg = int(degrees(edges).agg(F.max("degree")).first()[0])
     palette = max_deg + 1
     state0 = vertices(edges).select("vertex", F.lit(None).cast("long").alias("color"))
@@ -212,14 +213,11 @@ def johansson(edges: DataFrame, seed: int = 5, max_iters: int = 500) -> Coloring
         )
         return new, obs
 
-    try:
-        res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel="coloring_johansson", truncate_every=1)
-        if res.deltas and res.deltas[-1] > 0:
-            raise RuntimeError(f"johansson: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
-        colors = res.state.select("vertex", "color")
-        n_colors = colors.agg(F.countDistinct("color")).first()[0]
-    finally:
-        edges.unpersist()
+    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel="coloring_johansson", truncate_every=1)
+    if res.deltas and res.deltas[-1] > 0:
+        raise RuntimeError(f"johansson: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
+    colors = res.state.select("vertex", "color")
+    n_colors = colors.agg(F.countDistinct("color")).first()[0]
     return ColoringResult(colors, res.iterations, int(n_colors))
 
 

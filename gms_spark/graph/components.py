@@ -52,6 +52,11 @@ def connected_components(
     changed-count once per chunk. Correct because labels are monotone
     non-increasing: a chunk with zero changes proves the fixpoint.
     """
+    from gms_spark.graph.build import stage_edges
+
+    # edges are re-joined EVERY round — materialize once (a lazy
+    # upstream plan would otherwise re-execute per round)
+    edges = stage_edges(edges)
     verts = vertices(edges)
     labels0 = verts.select("vertex", F.col("vertex").alias("component"))
 

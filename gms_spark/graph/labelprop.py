@@ -42,6 +42,9 @@ def label_propagation(
     io: TableIO | None = None,
     run_id: str | None = None,
 ) -> LabelPropResult:
+    from gms_spark.graph.build import stage_edges
+
+    edges = stage_edges(edges)  # re-joined every round
     verts = vertices(edges)
     labels0 = verts.select("vertex", F.col("vertex").alias("label"))
 

@@ -256,67 +256,66 @@ def coreness_hindex(
 
     from gms_spark.runtime.superstep import truncate_plan
 
-    edges = edges.persist()
-    try:
-        c = truncate_plan(
-            vertices(edges)
-            .join(degrees(edges), "vertex", "left")
-            .fillna(0, ["degree"])
-            .select("vertex", F.col("degree").cast("long").alias("core"))
+    from gms_spark.graph.build import stage_edges
+
+    edges = stage_edges(edges)
+    c = truncate_plan(
+        vertices(edges)
+        .join(degrees(edges), "vertex", "left")
+        .fillna(0, ["degree"])
+        .select("vertex", F.col("degree").cast("long").alias("core"))
+    )
+
+    def one_round(cur: DataFrame) -> DataFrame:
+        nb = edges.join(
+            cur.select(F.col("vertex").alias("dst"), F.col("core").alias("nval")), "dst"
+        ).select(F.col("src").alias("vertex"), "nval")
+        # H from grouped values, not per-item ranks: H = max over
+        # distinct v of min(count(values ≥ v), v). The groupBy
+        # partial-aggregates map-side BEFORE the shuffle, so the
+        # exchange carries (vertex, distinct value, count) — and a
+        # hub's window shrinks from degree rows to ≤ (max core + 1)
+        # distinct values: the skew control for 10^6-degree hubs.
+        counts = nb.groupBy("vertex", "nval").agg(F.count(F.lit(1)).alias("cnt"))
+        w = (
+            Window.partitionBy("vertex")
+            .orderBy(F.col("nval").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        h = (
+            counts.withColumn("ccnt", F.sum("cnt").over(w))
+            .groupBy("vertex")
+            .agg(F.max(F.least(F.col("ccnt"), F.col("nval"))).alias("h"))
+        )
+        return (
+            cur.join(h, "vertex", "left")
+            .select("vertex", F.coalesce("h", F.lit(0)).cast("long").alias("core"))
         )
 
-        def one_round(cur: DataFrame) -> DataFrame:
-            nb = edges.join(
-                cur.select(F.col("vertex").alias("dst"), F.col("core").alias("nval")), "dst"
-            ).select(F.col("src").alias("vertex"), "nval")
-            # H from grouped values, not per-item ranks: H = max over
-            # distinct v of min(count(values ≥ v), v). The groupBy
-            # partial-aggregates map-side BEFORE the shuffle, so the
-            # exchange carries (vertex, distinct value, count) — and a
-            # hub's window shrinks from degree rows to ≤ (max core + 1)
-            # distinct values: the skew control for 10^6-degree hubs.
-            counts = nb.groupBy("vertex", "nval").agg(F.count(F.lit(1)).alias("cnt"))
-            w = (
-                Window.partitionBy("vertex")
-                .orderBy(F.col("nval").desc())
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            h = (
-                counts.withColumn("ccnt", F.sum("cnt").over(w))
-                .groupBy("vertex")
-                .agg(F.max(F.least(F.col("ccnt"), F.col("nval"))).alias("h"))
-            )
-            return (
-                cur.join(h, "vertex", "left")
-                .select("vertex", F.coalesce("h", F.lit(0)).cast("long").alias("core"))
-            )
-
-        done = 0
-        converged = False
-        while done < max_rounds:
-            k = min(check_every, max_rounds - done)
-            new = c
-            for _ in range(k):
-                new = one_round(new)
-            obs = Observation()
-            fused = (
-                new.join(c.select("vertex", F.col("core").alias("_old")), "vertex")
-                .observe(obs, F.sum(F.when(F.col("core") != F.col("_old"), 1).otherwise(0)).alias("delta"))
-                .select("vertex", "core")
-            )
-            fused = truncate_plan(fused)
-            done += k
-            ch = int(obs.get["delta"] or 0)
-            c.unpersist()
-            c = fused
-            if ch == 0:
-                converged = True
-                break
-        if not converged:
-            raise RuntimeError(f"coreness H-index did not converge within {max_rounds} rounds")
-        return (c, done) if return_rounds else c
-    finally:
-        edges.unpersist()
+    done = 0
+    converged = False
+    while done < max_rounds:
+        k = min(check_every, max_rounds - done)
+        new = c
+        for _ in range(k):
+            new = one_round(new)
+        obs = Observation()
+        fused = (
+            new.join(c.select("vertex", F.col("core").alias("_old")), "vertex")
+            .observe(obs, F.sum(F.when(F.col("core") != F.col("_old"), 1).otherwise(0)).alias("delta"))
+            .select("vertex", "core")
+        )
+        fused = truncate_plan(fused)
+        done += k
+        ch = int(obs.get["delta"] or 0)
+        c.unpersist()
+        c = fused
+        if ch == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(f"coreness H-index did not converge within {max_rounds} rounds")
+    return (c, done) if return_rounds else c
 
 
 def coreness(edges: DataFrame, max_rounds: int = 200) -> DataFrame:

@@ -68,6 +68,13 @@ def pagerank(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    # materialize the edge input for the preamble: verts/degrees/
+    # dangling/coverage each run an action, and a lazy upstream plan
+    # (parquet → extraction → symmetrize) would re-execute per action
+    from gms_spark.graph.build import stage_edges
+
+    edges = stage_edges(edges)
+
     verts = vertices(edges).persist()
     n = verts.count()
     deg = degrees(edges)
@@ -90,6 +97,8 @@ def pagerank(
     ew.count()
 
     dang = verts.join(deg, "vertex", "left_anti").persist() if n_dangling else None
+    if dang is not None:
+        dang.count()  # materialize before the edge cache is dropped
 
     # If every vertex receives at least one in-edge (always true for a
     # symmetrized graph with no dangling vertices), groupBy(dst) already

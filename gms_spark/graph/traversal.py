@@ -30,7 +30,10 @@ from gms_spark.runtime.superstep import iterate, truncate_plan
 
 def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
     """(vertex, dist) hop distances from source; unreachable omitted."""
+    from gms_spark.graph.build import stage_edges
+
     spark = edges.sparkSession
+    edges = stage_edges(edges)  # re-joined every level
     dist0 = spark.createDataFrame([(source, 0)], "vertex long, dist long")
     seen = {"n": 1.0}  # rows in the current dist table (source only at i=0)
 
@@ -79,10 +82,11 @@ def bfs_direction_optimizing(
                   that top-down + distinct would.
     Identical distances to bfs() by construction (same level sets).
     """
-    from gms_spark.graph.build import degrees, vertices
+    from gms_spark.graph.build import degrees, stage_edges, vertices
     from gms_spark.runtime.superstep import truncate_plan
 
     spark = edges.sparkSession
+    edges = stage_edges(edges)
     deg = degrees(edges).persist()
     verts = vertices(edges).persist()
     n = verts.count()
@@ -140,7 +144,10 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
 
     weighted_edges(src, dst, weight>=0); unreachable vertices omitted.
     """
+    from gms_spark.graph.build import stage_edges
+
     spark = weighted_edges.sparkSession
+    weighted_edges = stage_edges(weighted_edges)  # per-round joins
     dist0 = spark.createDataFrame([(source, 0.0)], "vertex long, dist double")
 
     def step(dist: DataFrame, i: int):
