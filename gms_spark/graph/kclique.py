@@ -150,23 +150,32 @@ def kclique_star_list(edges: DataFrame, k: int) -> DataFrame:
     Output: (members array<long>, star sorted array<long>).
 
     Plan shape: a star vertex s of clique C is adjacent to ALL k members,
-    so explode members ⋈ edges and keep (cid, s) groups of size exactly
+    so explode members ⋈ edges and keep (C, s) groups of size exactly
     k — one equi-join + one count aggregate, never materializing any
     vertex's full neighborhood in a row (a hub member's adjacency flows
     through the shuffle as plain edge rows with map-side partial counts).
+    The clique key is the sorted member array itself (kclique_list emits
+    members sorted): deterministic across recomputes, unlike
+    monotonically_increasing_id on a lazily-cached frame, and the join
+    back is by value so neither branch depends on row order. The n_adj==k
+    test requires a duplicate-free edge table — enforced here with
+    distinct() (cheap next to the clique join) so a raw CLI input with
+    repeated (src, dst) rows cannot inflate the count.
     """
-    cliques = kclique_list(edges, k)
-    exploded = cliques.select(F.monotonically_increasing_id().alias("cid"), "members").persist()
+    edges = edges.distinct()
+    # materialized once (checkpoint): consumed by both the star search
+    # and the final join-back
+    cliques = kclique_list(edges, k).localCheckpoint(eager=True)
     common = (
-        exploded.select("cid", "members", F.explode("members").alias("src"))
+        cliques.select("members", F.explode("members").alias("src"))
         .join(edges, "src")
         .where(~F.array_contains(F.col("members"), F.col("dst")))  # s ∉ C
-        .groupBy("cid", "dst")
+        .groupBy("members", "dst")
         .agg(F.count("*").alias("n_adj"))
         .where(F.col("n_adj") == k)  # adjacent to every member
-        .groupBy("cid")
+        .groupBy("members")
         .agg(F.sort_array(F.collect_list("dst")).alias("star"))
     )
-    return exploded.join(common, "cid", "left").select(
+    return cliques.join(common, "members", "left").select(
         "members", F.coalesce("star", F.array().cast("array<long>")).alias("star")
     )

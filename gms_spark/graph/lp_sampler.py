@@ -80,7 +80,11 @@ def prefix_ranges(weighted: DataFrame, vertex_col: str = "vertex", weight_col: s
             pos += int(w.sum())
             yield out
 
-    return ranged.mapInPandas(add_ranges, out_schema)
+    # materialize the result so the intermediate cache can be released
+    # here (no caller-must-unpersist contract to honor)
+    out = ranged.mapInPandas(add_ranges, out_schema).localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out
 
 
 def sample_edges(edges: DataFrame, k: int, seed: int = 29) -> DataFrame:
@@ -111,9 +115,21 @@ def sample_complement_edges(edges: DataFrame, k: int, seed: int = 31) -> DataFra
     loop (for nb in sorted N(u): if nb <= v: v += 1) — expressed as a
     sequential JVM-side fold over the sorted neighbor array. Complement
     includes u itself (reference quirk; a=b possible).
+
+    PRECONDITION: vertex ids must be DENSE 0..n-1 (the reference's CSR
+    id space, edge_sampler.h:24-155) — the skip fold walks the integer
+    line, so an id gap would let it emit a non-existent vertex.
+    Verified here; route sparse inputs through
+    ``build.assign_dense_ids`` / ``squish`` first.
     """
     spark = edges.sparkSession
-    n = int(vertices(edges).count())
+    row = vertices(edges).agg(F.count("*").alias("n"), F.max("vertex").alias("mx")).first()
+    n = int(row["n"])
+    if n and int(row["mx"]) != n - 1:
+        raise ValueError(
+            f"sample_complement_edges requires dense vertex ids 0..n-1 "
+            f"(got n={n}, max id={row['mx']}); relabel via assign_dense_ids first"
+        )
     adj = adjacency(edges)
     weighted = adj.select(
         F.col("src").alias("vertex"), (F.lit(n) - F.size("neigh")).cast("long").alias("w"), "neigh"

@@ -164,8 +164,10 @@ def near_dup_blocked(
     """
     n = corpus.count()
     n_blocks = max(1, (n + block_size - 1) // block_size)
-    blocks = _pack_blocks(corpus, id_col, vec_col, n_blocks).persist()
-    blocks.count()
+    # checkpoint, not persist: both self-join sides read the blocks, and
+    # there is no later point to unpersist a cache the lazy result still
+    # needs (blocks are reclaimed when the frame is unreferenced)
+    blocks = _pack_blocks(corpus, id_col, vec_col, n_blocks).localCheckpoint(eager=True)
     a = blocks.select(F.col("bid").alias("bid_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"))
     b = blocks.select(F.col("bid").alias("bid_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"))
     pairs = a.join(b, F.col("bid_a") <= F.col("bid_b"))

@@ -93,6 +93,16 @@ def stream_sessionize(
     schema = the batch schema minus ``session_idx`` (a per-user global
     counter is not knowable online without emitting per-session state
     churn; join the batch twin when an index is needed).
+
+    Late-data contract: cross-batch disorder WITHIN one open session is
+    handled (the carry merge min/maxes the bounds); an event arriving
+    after its session was already emitted — i.e. later than both the
+    session-closing gap and the watermark — cannot be retro-merged under
+    append-mode streaming and opens a new session, exactly like Spark's
+    built-in ``session_window``. Size ``watermark`` to the expected
+    disorder (the '0 seconds' default assumes per-user event-time order
+    across micro-batches); rows older than the watermark are dropped by
+    Spark before reaching the operator.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -134,8 +144,12 @@ def stream_sessionize(
         g = pd.DataFrame({"s": sess, "ts": ts, "v": vals}).groupby("s", sort=True)
         agg = g.agg(start=("ts", "min"), last=("ts", "max"), n=("ts", "size"), sv=("v", "sum"))
         if carry is not None and agg.index[0] == 0:
-            # merge the carried open session with its in-batch continuation
-            agg.loc[0, "start"] = carry[0]
+            # merge the carried open session with its in-batch continuation;
+            # min/max (not blind carry-over) so a batch whose first events
+            # PREDATE the carried accumulator (cross-batch disorder within
+            # the gap) still yields correct session bounds
+            agg.loc[0, "start"] = min(carry[0], int(agg.loc[0, "start"]))
+            agg.loc[0, "last"] = max(carry[1], int(agg.loc[0, "last"]))
             agg.loc[0, "n"] += carry[2]
             agg.loc[0, "sv"] += carry[3]
             carry = None

@@ -156,3 +156,47 @@ def test_stream_state_carries_across_batches(spark, tmp_path):
     # event-time timeout — so: closed ⊆ got ⊆ all batch sessions
     assert _expected_closed(batch) <= got
     assert got <= all_sessions
+
+
+def test_stream_merge_handles_cross_batch_disorder(spark, tmp_path):
+    """A later micro-batch whose first event PREDATES the carried open
+    session (within the gap, inside the watermark slack) must min/max
+    the merged session bounds, not blindly keep the carried ones."""
+    import datetime as dt
+    import os
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    b0 = [(1, t(100), 1.0, 1), (1, t(200), 2.0, 2)]
+    # 50s predates the carried (100..200) session; 5000s closes it by gap
+    b1 = [(1, t(50), 4.0, 3), (1, t(5000), 8.0, 4)]
+    schema = "user_id long, ts timestamp, value double, event_id long"
+
+    src = tmp_path / "dis_in"
+    src.mkdir()
+    for name, rows in [("b0", b0), ("b1", b1)]:
+        out = tmp_path / f"w_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(out))
+        part = next(out.glob("part-*.parquet"))
+        part.rename(src / f"{name}.parquet")
+    now = os.path.getmtime(src / "b1.parquet")
+    os.utime(src / "b0.parquet", (now - 120, now - 120))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b0, schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_sessionize(stream, GAP, watermark="1000 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_disorder")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], round(r["sum_value"], 4))
+        for r in spark.sql("select * from sess_disorder").collect()
+    }
+    assert (1, t(50), t(200), 3, 7.0) in got, got
