@@ -273,6 +273,7 @@ PR_CONV_ITERS_SF001 = 26  # 5 chunks of 5 + 1 confirmation superstep @ tol=1e-6
 # (all-colored / at-fixpoint), so these carry safety margin
 COLORING_JP_ROUNDS = 28
 COLORING_JOHANSSON_ROUNDS = 24
+COLORING_BARENBOIM_ROUNDS = 6  # engine converges in 3 at sf0.001/sf0.01
 CORENESS_HINDEX_ROUNDS = 16
 ADG_ROUNDS_SF001 = 5  # eps=0.1 avg-boundary peel rounds
 MCE_MAX_K_SF001 = 4  # largest maximal clique size
@@ -740,6 +741,90 @@ def _q_coreness(spark, sf_dir):
     return coreness(doc_graph(spark, sf_dir))
 
 
+def _q_coloring_barenboim(spark, sf_dir):
+    # Barenboim speculative (Δ+1)-coloring — every round is pure int64
+    # arithmetic (LCG palette-index draw + skip-fold + higher-id-wins
+    # conflict rule), so the oracle replays it bit-for-bit. The oracle
+    # unrolls phase-1 rounds only; the engine finishes in 3 rounds at
+    # driver SFs (phase 1 allows ~59), so the restriction never binds.
+    from gms_spark.graph.coloring import barenboim
+
+    return barenboim(doc_graph(spark, sf_dir)).colors
+
+
+def _q_coloring_elkin(spark, sf_dir):
+    # Elkin multi-color sampling + Barenboim finisher. The per-color
+    # acceptance threshold is int(p_i · P) where p_i follows the
+    # reference's FLOAT d_i recurrence (coloring_elkin.h:38-56) — a
+    # 1-ulp libm difference between engines flips a draw, so there is
+    # deliberately no SQL oracle (rows-only). Propriety, the Δ+1 bound
+    # and run-to-run determinism are pytest-verified
+    # (tests/test_coloring.py::test_speculative_variants_proper_and_bounded).
+    from gms_spark.graph.coloring import elkin
+
+    return elkin(doc_graph(spark, sf_dir)).colors
+
+
+def _barenboim_sql(rounds: int, seed: int = 11) -> str:
+    """Unrolled Barenboim one-shot rounds (all-integer arithmetic: LCG
+    index draw, r-th-free-color palette resolution, higher-id-wins).
+    Idempotent once everyone is colored, so ``rounds`` only needs to
+    dominate the engine's measured phase-1 round count.
+
+    The r-th free color is resolved by unnesting the palette and
+    row-numbering the non-used values — deliberately NOT the engine's
+    skip-fold: DuckDB 1.0 mis-aligns rows when a list_reduce lambda and
+    its sibling scalar expressions are evaluated in a re-inlined CTE
+    (observed: one vertex's draw index folded over another vertex's
+    used-list, emitting colors > Δ+1). Both formulations define the same
+    value, so engine/oracle parity is unaffected."""
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_P, ROUND_SALT
+
+    parts = [
+        "pal AS (SELECT max(degree) + 1 AS pn FROM deg)",
+        "bgs AS (SELECT unnest(generate_series(1, (SELECT max(degree) + 1 FROM deg))) AS c)",
+        "bst0 AS (SELECT vertex, CAST(NULL AS BIGINT) AS color FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        p, i = t - 1, t - 1  # engine round index is 0-based
+        salt = (i * ROUND_SALT + seed * ARITH_B) % ARITH_P
+        mix = f"(((s.vertex % {ARITH_P}) * {ARITH_A} + {salt}) % {ARITH_P})"
+        parts.append(
+            f"""bused{t} AS MATERIALIZED (
+  SELECT e.src AS vertex,
+         list_sort(list(DISTINCT nb.color) FILTER (WHERE nb.color IS NOT NULL)) AS used
+  FROM und e JOIN bst{p} nb ON nb.vertex = e.dst GROUP BY e.src
+),
+bpick{t} AS MATERIALIZED (
+  SELECT s.vertex,
+         1 + {mix} % (pal.pn - coalesce(len(u.used), 0)) AS want,
+         coalesce(u.used, CAST([] AS BIGINT[])) AS used
+  FROM bst{p} s LEFT JOIN bused{t} u ON u.vertex = s.vertex CROSS JOIN pal
+  WHERE s.color IS NULL
+),
+bcand{t} AS MATERIALIZED (
+  SELECT vertex, c AS chosen FROM (
+    SELECT p.vertex, g.c, p.want,
+           row_number() OVER (PARTITION BY p.vertex ORDER BY g.c) AS rn
+    FROM bpick{t} p JOIN bgs g ON NOT list_contains(p.used, g.c)
+  ) WHERE rn = want
+),
+bconf{t} AS (
+  SELECT DISTINCT c1.vertex
+  FROM bcand{t} c1 JOIN und e ON e.dst = c1.vertex
+       JOIN bcand{t} c2 ON c2.vertex = e.src
+  WHERE e.src > e.dst AND c2.chosen = c1.chosen
+),
+bst{t} AS MATERIALIZED (
+  SELECT s.vertex,
+    coalesce(s.color, CASE WHEN cf.vertex IS NULL THEN cd.chosen END) AS color
+  FROM bst{p} s LEFT JOIN bcand{t} cd ON cd.vertex = s.vertex
+  LEFT JOIN bconf{t} cf ON cf.vertex = s.vertex
+)"""
+        )
+    return "WITH " + GRAPH_CTES + "," + ",\n".join(parts) + f"\nSELECT vertex, color FROM bst{rounds}"
+
+
 def _jp_coloring_sql(rounds: int, seed: int, largest_first: bool = False) -> str:
     """Unrolled JP rounds (LCG-mix priorities; ``largest_first`` prepends
     degree to the priority tuple — jp_lf). Extra rounds are idempotent
@@ -1080,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": _q_coloring,
         "coloring_johansson": _q_coloring_johansson,
         "coloring_jp_lf": _q_coloring_jp_lf,
+        "coloring_barenboim": _q_coloring_barenboim,
+        "coloring_elkin": _q_coloring_elkin,
         "coreness": _q_coreness,
         # training-data pipeline: dedup
         "exact_dedup": _q_exact_dedup,
@@ -1123,6 +1210,7 @@ tri AS MATERIALIZED (
         "coloring": _jp_coloring_sql(rounds=COLORING_JP_ROUNDS, seed=27491095),
         "coloring_jp_lf": _jp_coloring_sql(rounds=COLORING_JP_ROUNDS, seed=27491095, largest_first=True),
         "coloring_johansson": _johansson_sql(rounds=COLORING_JOHANSSON_ROUNDS),
+        "coloring_barenboim": _barenboim_sql(rounds=COLORING_BARENBOIM_ROUNDS),
         "coreness": _coreness_sql(rounds=CORENESS_HINDEX_ROUNDS),
         "mce": _mce_sql(),
         "betweenness": _betweenness_sql(),
