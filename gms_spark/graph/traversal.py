@@ -66,12 +66,16 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
 
 
 def bfs_direction_optimizing(
-    edges: DataFrame, source: int, max_iters: int = 200, alpha: float = 2.0
+    edges: DataFrame, source: int, max_iters: int = 200, alpha: float = 15.0, beta: float = 18.0
 ) -> DataFrame:
     """(vertex, dist) — BFS with the reference's direction switch
-    (gms/representations/graphs/log_graph/bfs.cc:18-25, Beamer DO-BFS).
+    (gms/representations/graphs/log_graph/bfs.cc:143-186, Beamer DO-BFS;
+    GAPBS defaults alpha=15, beta=18 :120).
 
-    Per level, compare Σdeg(frontier) against the unvisited count:
+    The GAPBS heuristic, re-expressed: go bottom-up when
+    ``scout > edges_to_check / alpha`` (scout = Σdeg of the frontier,
+    edges_to_check = edges not yet scanned top-down) and return top-down
+    when the awake count drops under ``n / beta``.
       top-down  — frontier ⋈ edges, shuffle ∝ edges OUT of the frontier;
                   right when the frontier is thin.
       bottom-up — unvisited LEFT-SEMI (edges ⋉ frontier): each unvisited
@@ -80,8 +84,14 @@ def bfs_direction_optimizing(
                   scan), so the wide middle levels of a low-diameter web
                   graph never materialize the frontier×degree blow-up
                   that top-down + distinct would.
-    Identical distances to bfs() by construction (same level sets).
+    The per-level frontier stats (count + Σdegree) ride the level's own
+    materialization via df.observe — GAPBS's negative-degree parent
+    encoding trick (bfs.cc:30-37) re-expressed as a fused aggregate, so
+    the switch costs NO extra job. Identical distances to bfs() by
+    construction (same level sets).
     """
+    from pyspark.sql import Observation
+
     from gms_spark.graph.build import degrees, stage_edges, vertices
     from gms_spark.runtime.superstep import truncate_plan
 
@@ -90,14 +100,21 @@ def bfs_direction_optimizing(
     deg = degrees(edges).persist()
     verts = vertices(edges).persist()
     n = verts.count()
+    m = edges.count()  # directed edge slots (both directions of und)
     dist = spark.createDataFrame([(source, 0)], "vertex long, dist long").persist()
     frontier = dist.select("vertex")
     olds = []
-    visited = 1
+    scout = int(deg.where(F.col("vertex") == source).agg(F.sum("degree")).first()[0] or 0)
+    edges_to_check = m
+    awake = 1
+    bottom_up = False
     i = 0
     while i < max_iters:
-        f_deg = frontier.join(deg, "vertex").agg(F.sum("degree")).first()[0] or 0
-        if f_deg > alpha * (n - visited):
+        if not bottom_up and scout > edges_to_check / alpha:
+            bottom_up = True
+        elif bottom_up and awake < n / beta:
+            bottom_up = False
+        if bottom_up:
             # bottom-up: scan the UNVISITED side's own edges and keep
             # vertices with any neighbor in the frontier — work ∝ edges
             # incident to unvisited, not ∝ Σdeg(frontier)
@@ -118,9 +135,20 @@ def bfs_direction_optimizing(
             )
         # truncate_plan, not bare localCheckpoint: bare checkpoints
         # inherit stats estimates that compound exponentially across
-        # supersteps (see runtime/superstep.py:truncate_plan)
-        nxt = truncate_plan(cand.select("vertex", F.lit(i + 1).alias("dist")))
-        c = nxt.count()
+        # supersteps (see runtime/superstep.py:truncate_plan). The new
+        # frontier's count AND Σdegree are observed by this same job.
+        obs = Observation()
+        nxt = truncate_plan(
+            cand.select("vertex", F.lit(i + 1).alias("dist"))
+            .join(deg, "vertex", "left")
+            .observe(obs, F.count(F.lit(1)).alias("c"), F.sum("degree").alias("sd"))
+            .select("vertex", "dist")
+        )
+        got = obs.get
+        c = int(got["c"] or 0)
+        edges_to_check -= scout  # the old frontier's edges are spent
+        scout = int(got["sd"] or 0)
+        awake = c
         if c == 0:
             olds.append(nxt)
             break
@@ -128,7 +156,6 @@ def bfs_direction_optimizing(
         dist = truncate_plan(dist.unionAll(nxt))
         olds.append(nxt)
         frontier = nxt.select("vertex")
-        visited += c
         i += 1
     olds.append(dist)
     dist = dist.localCheckpoint(eager=True)
