@@ -271,17 +271,28 @@ def run_headline_queries(spark) -> dict:
 
 def kclique_order_comparison(spark) -> dict:
     """ADG-degeneracy vs (degree, id) DAG orientation on the doc graph —
-    the reference's mining-order knob (kclisting.h ordering param)."""
+    the reference's mining-order knob (kclisting.h ordering param).
+    The ADG ordering BUILD is timed separately from the mining that
+    consumes it (orient() takes a precomputed rank table): the build is
+    a one-off shared across every mining consumer in a real session, so
+    folding it into each kernel's seconds double-charges it."""
     import __spark_entry__ as entry_mod
     from gms_spark.graph.kclique import kclique_count
+    from gms_spark.graph.orderings import adg_order
 
     und = entry_mod.doc_graph(spark, SF_DIR).persist()
     und.count()
     out = {}
-    for order in ("degree", "adg"):
-        t0 = time.time()
-        out["cliques"] = kclique_count(und, 4, order=order)
-        out[f"kclique4_{order}_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    out["cliques"] = kclique_count(und, 4, order="degree")
+    out["kclique4_degree_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ranks = adg_order(und).select("vertex", "rank").localCheckpoint(eager=True)
+    out["adg_order_build_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    out["cliques"] = kclique_count(und, 4, order=ranks)
+    out["kclique4_adg_mine_s"] = round(time.time() - t0, 3)
+    out["kclique4_adg_s"] = round(out["adg_order_build_s"] + out["kclique4_adg_mine_s"], 3)
     und.unpersist()
     return out
 

@@ -52,8 +52,11 @@ def _bk_pivot(R: list[int], P: set[int], X: set[int], adj: dict[int, set[int]], 
         X = X | {v}
 
 
-def _root_order(edges: DataFrame, order: str) -> DataFrame:
-    """(vertex, ord_rank) total order for the P/X split."""
+def _root_order(edges: DataFrame, order) -> DataFrame:
+    """(vertex, ord_rank) total order for the P/X split; ``order`` may be
+    a PRECOMPUTED (vertex, rank) DataFrame shared across consumers."""
+    if isinstance(order, DataFrame):
+        return order.select("vertex", F.col("rank").alias("ord_rank"))
     if order == "adg":
         from gms_spark.graph.orderings import adg_order
 

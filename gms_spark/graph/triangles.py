@@ -50,9 +50,15 @@ def orient_by_rank(edges: DataFrame, ranks: DataFrame) -> DataFrame:
     )
 
 
-def orient(edges: DataFrame, order: str = "degree") -> DataFrame:
-    """Orientation menu: 'degree' ((degree, id), rank-free fast path) or
-    'adg' (approximate-degeneracy ranks — the reference's mining order)."""
+def orient(edges: DataFrame, order="degree") -> DataFrame:
+    """Orientation menu: 'degree' ((degree, id), rank-free fast path),
+    'adg' (approximate-degeneracy ranks — the reference's mining order),
+    'degeneracy' (exact Matula peel), or a PRECOMPUTED (vertex, rank)
+    DataFrame — lets consumers that share one ordering (kclique + MCE in
+    a session, or a bench separating ordering-build from mining time)
+    build it once instead of per kernel."""
+    if isinstance(order, DataFrame):
+        return orient_by_rank(edges, order.select("vertex", "rank"))
     if order == "degree":
         return orient_by_degree(edges)
     if order == "adg":
