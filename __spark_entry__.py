@@ -1031,16 +1031,42 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
+def _ann_queries(corpus):
+    return corpus.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def _with_topk_recall(approx, corpus, queries_df, k):
+    """Append per-query recall@k measured IN-ENGINE against the exact
+    blocked-BLAS twin — the driver's rows-only record then carries a
+    quantified recall column instead of only a pytest-side threshold."""
+    from gms_spark.sim.ann import cosine_topk_blocked
+
+    exact = cosine_topk_blocked(corpus, queries_df, k=k)
+    rec = (
+        approx.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall_at_k"))
+    )
+    return (
+        approx.join(rec, "query_id", "left")
+        .select(
+            "query_id",
+            "vec_id",
+            "cos",
+            F.col("rank").cast("long").alias("rnk"),
+            F.round(F.coalesce("recall_at_k", F.lit(0.0)), 4).alias("recall_at_k"),
+        )
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     from gms_spark.sim.ann import lsh_topk
 
     corpus = _embeddings(spark, sf_dir)
-    queries_df = corpus.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    return lsh_topk(corpus, queries_df, k=10).select(
-        "query_id", "vec_id", "cos", F.col("rank").cast("long").alias("rnk")
-    )
+    queries_df = _ann_queries(corpus)
+    return _with_topk_recall(lsh_topk(corpus, queries_df, k=10), corpus, queries_df, 10)
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -1052,12 +1078,9 @@ def _q_ann_ivf(spark, sf_dir):
     from gms_spark.sim.ann import ivf_topk
 
     corpus = _embeddings(spark, sf_dir)
-    queries_df = corpus.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    return ivf_topk(corpus, queries_df, k=10, n_centroids=16, n_probe=4).select(
-        "query_id", "vec_id", "cos", F.col("rank").cast("long").alias("rnk")
-    )
+    queries_df = _ann_queries(corpus)
+    approx = ivf_topk(corpus, queries_df, k=10, n_centroids=16, n_probe=4)
+    return _with_topk_recall(approx, corpus, queries_df, 10)
 
 
 def _q_embedding_near_dup(spark, sf_dir):
@@ -1076,9 +1099,21 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     # exact verification. Approximate recall by construction, so no SQL
     # oracle can hash-match it; precision is 1 (every emitted pair is
     # exactly verified) and recall is tested statistically in pytest.
-    from gms_spark.sim.ann import near_dup_lsh
+    from gms_spark.sim.ann import near_dup_blocked, near_dup_lsh
 
-    return near_dup_lsh(_embeddings(spark, sf_dir), threshold=0.4)
+    corpus = _embeddings(spark, sf_dir)
+    lsh = near_dup_lsh(corpus, threshold=0.4)
+    # global recall vs the exact blocked twin, measured in-engine: the
+    # rows-only record carries the number, not just a pytest threshold
+    exact = near_dup_blocked(corpus, threshold=0.4)
+    num = lsh.join(exact.select("a", "b"), ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    den = exact.agg(F.count(F.lit(1)).alias("total"))
+    rec = num.crossJoin(den).select(
+        F.round(F.col("hits") / F.greatest(F.col("total"), F.lit(1)), 4).alias("recall")
+    )
+    return lsh.crossJoin(F.broadcast(rec))
 
 
 def _q_events_hourly(spark, sf_dir):
