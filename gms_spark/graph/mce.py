@@ -102,30 +102,109 @@ def mce_roots(edges: DataFrame, order: str = "adg") -> DataFrame:
     return p_x.join(nbr_adj, "v", "left")
 
 
-def maximal_cliques(edges: DataFrame, min_size: int = 1, order: str = "adg") -> DataFrame:
+def _split_edge_tasks(base: DataFrame, threshold: int) -> DataFrame:
+    """Expand dense roots one BK level into per-edge subtasks.
+
+    The reference's edge-parallel strategy
+    (gms/algorithms/parallelizationStrategy/parallelize.h:38-120): a
+    root whose candidate set P exceeds ``threshold`` becomes |P|
+    subtasks — for the i-th candidate u (in sorted P order, matching
+    BK's branch order without the level-1 pivot):
+      R' = R + [u];  P' = P[i+1:] ∩ N(u);  X' = (X ∪ P[:i]) ∩ N(u).
+    Exactly the standard BK branch bookkeeping, so the union of subtask
+    outputs equals the root's output. Each subtask's induced adjacency
+    is re-restricted to P'∪X' (payload stays bounded — the split must
+    not replicate the hub's full neighborhood |P| times), and the task
+    table is round-robin repartitioned so one dense root's subtasks
+    spread across executors instead of straggling a single partition.
+    """
+    empty = F.array().cast("array<long>")
+    big = base.where(F.size("P") > threshold)
+    small = base.where(F.size("P") <= threshold)
+    expl = (
+        big.select("R", "P", "X", "sub", F.posexplode("P").alias("pos", "u"))
+        .withColumn(
+            "un",
+            F.coalesce(
+                # get(), not getItem(0): a candidate u with no neighbors
+                # inside N(v) has no sub entry (empty filter result)
+                F.get(F.filter("sub", lambda s: s["u"] == F.col("u")), F.lit(0)).getField("u_neigh"),
+                empty,
+            ),
+        )
+        .withColumn(
+            "P2",
+            F.filter(
+                F.slice("P", F.col("pos") + F.lit(2), F.size("P")),
+                lambda w: F.array_contains("un", w),
+            ),
+        )
+        .withColumn(
+            "X2",
+            F.concat(
+                F.filter("X", lambda w: F.array_contains("un", w)),
+                F.filter(F.slice("P", F.lit(1), F.col("pos")), lambda w: F.array_contains("un", w)),
+            ),
+        )
+        .withColumn("mem", F.concat("P2", "X2"))
+    )
+    sub2 = F.transform(
+        F.filter("sub", lambda s: F.array_contains("mem", s["u"])),
+        lambda s: F.struct(
+            s["u"].alias("u"),
+            F.filter(s["u_neigh"], lambda w: F.array_contains("mem", w)).alias("u_neigh"),
+        ),
+    )
+    tasks = expl.select(
+        F.concat("R", F.array("u")).alias("R"),
+        F.col("P2").alias("P"),
+        F.col("X2").alias("X"),
+        sub2.alias("sub"),
+    )
+    nparts = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return small.unionByName(tasks).repartition(nparts)
+
+
+def maximal_cliques(
+    edges: DataFrame, min_size: int = 1, order: str = "adg", split_threshold: int | None = 64
+) -> DataFrame:
     """All maximal cliques of a simple undirected graph: (clique array<long>).
 
     Isolated-from-edges vertices (degree 0) never appear in ``edges`` and
     are trivially maximal singletons — excluded here, matching the
     reference which enumerates over the edge-bearing graph.
+
+    ``split_threshold``: roots with |P| above it are expanded one BK
+    level into per-edge subtasks spread across partitions (see
+    ``_split_edge_tasks``) — per-root BK work is worst-case exponential,
+    and without the split one dense root can straggle its partition.
+    None disables splitting.
     """
     roots = mce_roots(edges, order)
+    base = roots.select(
+        F.array("v").alias("R"),
+        "P",
+        "X",
+        F.coalesce("sub", F.array().cast("array<struct<u:long,u_neigh:array<long>>>")).alias("sub"),
+    )
+    if split_threshold is not None:
+        base = _split_edge_tasks(base, split_threshold)
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cliques: list[list[int]] = []
-            for v, P, X, sub in zip(pdf["v"], pdf["P"], pdf["X"], pdf["sub"]):
+            for R, P, X, sub in zip(pdf["R"], pdf["P"], pdf["X"], pdf["sub"]):
                 local = (
                     {int(s["u"]): set(int(x) for x in s["u_neigh"]) for s in sub}
                     if sub is not None
                     else {}
                 )
                 out: list[list[int]] = []
-                _bk_pivot([int(v)], set(int(x) for x in P), set(int(x) for x in X), local, out)
+                _bk_pivot([int(x) for x in R], set(int(x) for x in P), set(int(x) for x in X), local, out)
                 cliques.extend(out)
             yield pd.DataFrame({"clique": cliques if cliques else []}, dtype=object)
 
-    res = roots.mapInPandas(expand, "clique array<long>")
+    res = base.mapInPandas(expand, "clique array<long>")
     if min_size > 1:
         res = res.where(F.size("clique") >= min_size)
     return res

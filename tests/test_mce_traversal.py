@@ -169,3 +169,30 @@ def test_bfs_direction_optimizing_matches_plain(name, edges_df_factory):
     assert do == plain
     do2 = {r["vertex"]: r["dist"] for r in bfs_direction_optimizing(df, src).collect()}
     assert do2 == plain
+
+
+def test_mce_edge_parallel_split_identical_and_bounded(spark):
+    """Edge-parallel root splitting (parallelize.h:38-120 analog): the
+    per-edge subtask expansion must (a) enumerate exactly the same
+    maximal-clique set, and (b) strictly shrink the largest per-task
+    candidate set on a skewed R-MAT graph (the straggler bound)."""
+    from pyspark.sql import functions as F
+
+    from gms_spark.graph.build import build_undirected
+    from gms_spark.graph.generators import rmat_el
+    from gms_spark.graph.mce import _split_edge_tasks, maximal_cliques, mce_roots
+
+    und = build_undirected(rmat_el(spark, scale=8, deg=10, seed=5)).localCheckpoint(eager=True)
+    a = sorted(tuple(r["clique"]) for r in maximal_cliques(und, split_threshold=None).collect())
+    b = sorted(tuple(r["clique"]) for r in maximal_cliques(und, split_threshold=8).collect())
+    assert a == b and len(a) > 100
+
+    base = mce_roots(und).select(
+        F.array("v").alias("R"), "P", "X",
+        F.coalesce("sub", F.array().cast("array<struct<u:long,u_neigh:array<long>>>")).alias("sub"),
+    )
+    max_before = base.agg(F.max(F.size("P"))).first()[0]
+    split = _split_edge_tasks(base, threshold=8)
+    max_after = split.agg(F.max(F.size("P"))).first()[0]
+    assert max_before > 8  # the skewed graph does produce dense roots
+    assert max_after < max_before  # one BK level strictly shrinks the straggler
