@@ -84,6 +84,52 @@ def evaluate_link_prediction(
     return LPEvalResult(precision, auc, q, n_test)
 
 
+def add_false_links(
+    train: DataFrame, mutations: int, test: DataFrame | None = None, seed: int = 42
+) -> DataFrame:
+    """Mutation robustness mode (evaluation.h:176-200): replace
+    ``mutations`` true edges with sampled complement (false) pairs,
+    skipping pairs that are hidden test positives — the reference's
+    noise-injection knob for measuring how fast precision/AUC degrade.
+
+    ``train`` is a symmetrized edge table; returns the mutated graph in
+    the same shape. Deviations, documented: the reference rebuilds its
+    sampler after every single mutation (edge_sampler rebuild,
+    evaluation.h:197) so draw i+1 sees the mutated graph — a sequential
+    O(mutations·m) loop that cannot be the 100 TB path; we draw one
+    batch from the UNMUTATED graph (distribution-equivalent for
+    mutations ≪ m) with the engine's deterministic LCG draws. The
+    complement sampler's self-pair quirk is dropped for insertions
+    (a self-loop is not a valid undirected edge).
+    """
+    from gms_spark.graph.lp_sampler import sample_complement_edges, sample_edges
+
+    half = train.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    remove = (
+        sample_edges(train, k=mutations * 2, seed=seed)
+        .select("a", "b")
+        .distinct()
+        .limit(mutations)
+    )
+    add = (
+        sample_complement_edges(train, k=mutations * 4, seed=seed + 1)
+        .select("a", "b")
+        .distinct()
+        .where(F.col("a") != F.col("b"))
+        .join(half, ["a", "b"], "left_anti")  # complement of train by construction; belt+braces
+    )
+    if test is not None:
+        test_half = test.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        add = add.join(test_half, ["a", "b"], "left_anti")  # evaluation.h:193-195
+    add = add.limit(mutations)
+    mutated_half = half.join(remove, ["a", "b"], "left_anti").unionByName(add)
+    return build_undirected(mutated_half.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+
+
 def _rank_auc(scored: DataFrame) -> float:
     """Exact tie-averaged AUC via Mann–Whitney ranks — identical value to
     the positivexnegative pairwise comparison but computed from ONE

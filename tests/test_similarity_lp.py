@@ -139,3 +139,38 @@ def test_rank_auc_equals_pairwise(spark):
         1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
     ) / (len(pos) * len(neg))
     assert abs(_rank_auc(df) - brute) < 1e-12
+
+
+def test_add_false_links_mutation(spark, edges_df_factory):
+    """Mutation mode (evaluation.h:176-200): edge count preserved (swap
+    semantics), added pairs are genuine non-edges, removed pairs are
+    gone, test positives never injected, deterministic given the seed."""
+    from pyspark.sql import functions as F
+
+    from gms_spark.graph.build import build_undirected
+    from gms_spark.graph.lp_eval import add_false_links, split_edges
+
+    from .oracles import load_el, undirect
+
+    el = undirect(load_el("smallRandom1.el"))
+    und = build_undirected(edges_df_factory(el)).localCheckpoint(eager=True)
+    train_half, test_half = split_edges(und)
+    train = build_undirected(train_half).localCheckpoint(eager=True)
+
+    k = 5
+    mut = add_false_links(train, k, test=test_half).localCheckpoint(eager=True)
+    n0 = train.where(F.col("src") < F.col("dst")).count()
+    n1 = mut.where(F.col("src") < F.col("dst")).count()
+    assert n1 == n0  # k removed, k added
+
+    orig = {(r["src"], r["dst"]) for r in train.where(F.col("src") < F.col("dst")).collect()}
+    new = {(r["src"], r["dst"]) for r in mut.where(F.col("src") < F.col("dst")).collect()}
+    added = new - orig
+    removed = orig - new
+    assert len(added) == k and len(removed) == k
+    test_set = {(r["src"], r["dst"]) for r in test_half.collect()}
+    assert not (added & test_set)  # hidden positives never injected
+
+    mut2 = add_false_links(train, k, test=test_half)
+    new2 = {(r["src"], r["dst"]) for r in mut2.where(F.col("src") < F.col("dst")).collect()}
+    assert new2 == new  # deterministic
