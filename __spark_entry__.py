@@ -682,6 +682,18 @@ def _q_sssp(spark, sf_dir):
     )
 
 
+def _q_sssp_delta(spark, sf_dir):
+    # δ-stepping (log_graph/sssp.cc:54-120): identical distance fixpoint
+    # to Bellman–Ford by construction, so it shares sssp's oracle — a
+    # cross-ALGORITHM check (bucketed expansion vs full-frontier
+    # relaxation agreeing bit-for-bit on the converged distances).
+    from gms_spark.graph.traversal import sssp_delta_stepping
+
+    return sssp_delta_stepping(_weighted_doc_graph(spark, sf_dir), source=0).select(
+        "vertex", F.round("dist", 6).alias("dist")
+    )
+
+
 def _q_triangle_stars(spark, sf_dir):
     from gms_spark.graph.kclique import kclique_star_list
 
@@ -1193,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": _q_bfs,
         "bfs_do": _q_bfs_do,
         "sssp": _q_sssp,
+        "sssp_delta": _q_sssp_delta,
         "triangle_stars": _q_triangle_stars,
         "mce": _q_mce,
         "subiso_square": _q_subiso_square,
@@ -1341,6 +1354,7 @@ reach(v, d) AS (
 SELECT v AS vertex, min(d) AS dist FROM reach GROUP BY v"""
         ),
         "sssp": _sssp_sql(25),
+        "sssp_delta": _sssp_sql(25),  # same converged fixpoint, different algorithm
         # direction-optimizing BFS computes the SAME hop distances —
         # it shares the plain-BFS oracle verbatim
         "bfs_do": (

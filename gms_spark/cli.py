@@ -15,7 +15,8 @@ reference's per-kernel benchmark binaries (gms/benchmarks/*.cc):
 
   north rule     pagerank | components | labelprop | triangles |
                  triangles_vertex
-  traversal      bfs | bfs_do | sssp | betweenness   (--source, --bc-samples;
+  traversal      bfs | bfs_do | sssp | sssp_delta | betweenness
+                 (--source, --bc-samples;
                  sssp uses the input's weight column or deterministic
                  inserted weights, GAPBS-style)
   orderings      coreness | degeneracy
@@ -38,7 +39,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kernel", required=True,
                    choices=["pagerank", "components", "labelprop", "triangles", "triangles_vertex",
-                            "bfs", "bfs_do", "sssp", "betweenness", "coreness", "degeneracy",
+                            "bfs", "bfs_do", "sssp", "sssp_delta", "betweenness", "coreness", "degeneracy",
                             "kclique", "kclique_star", "mce", "subiso_square", "coloring",
                             "vertex_similarity", "link_prediction"])
     p.add_argument("--input", required=True, help="edge table (.parquet/.el/.wel/.gr/.mtx/.graph)")
@@ -111,8 +112,8 @@ def main(argv: list[str] | None = None) -> int:
         fn = bfs_direction_optimizing if args.kernel == "bfs_do" else bfs
         out = fn(graph, args.source, max_iters=args.iters)
         iters = out.agg({"dist": "max"}).first()[0] or 0
-    elif args.kernel == "sssp":
-        from gms_spark.graph.traversal import sssp
+    elif args.kernel in ("sssp", "sssp_delta"):
+        from gms_spark.graph.traversal import sssp, sssp_delta_stepping
 
         if "weight" in edges.columns:  # .wel / weighted parquet: symmetrize keeping min weight
             w = edges.select("src", "dst", "weight")
@@ -124,7 +125,11 @@ def main(argv: list[str] | None = None) -> int:
             from gms_spark.graph.generators import insert_weights
 
             wgraph = insert_weights(graph)
-        out, iters = sssp(wgraph, args.source, max_iters=args.iters), 0
+        if args.kernel == "sssp_delta":
+            out = sssp_delta_stepping(wgraph, args.source)
+        else:
+            out = sssp(wgraph, args.source, max_iters=args.iters)
+        iters = 0
     elif args.kernel == "betweenness":
         from gms_spark.graph.betweenness import betweenness_centrality
 

@@ -212,6 +212,95 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
     return res.state
 
 
+def sssp_delta_stepping(
+    weighted_edges: DataFrame,
+    source: int,
+    delta: float | None = None,
+    max_rounds: int = 100000,
+) -> DataFrame:
+    """(vertex, dist) — δ-stepping SSSP (log_graph/sssp.cc:54-120,
+    Meyer–Sanders via the GAPBS formulation).
+
+    Identical distance fixpoint to :func:`sssp`; the difference is WORK
+    PER ROUND. Plain Bellman–Ford expands EVERY improved vertex each
+    superstep, so far-away vertices are relaxed repeatedly with
+    non-final distances; δ-stepping only expands the current distance
+    bucket [bδ, (b+1)δ) — total relaxation work is bounded because a
+    vertex settles within its bucket before farther buckets open. The
+    BSP analog of GAPBS's bins: the state carries a ``dirty`` flag
+    (improved and not yet expanded — GAPBS's frontier membership), the
+    current bucket is the min bucket over dirty vertices (GAPBS's
+    next-bin vote), and the staleness guard (sssp.cc:77) is implicit —
+    dist only decreases and b is the dirty minimum. Each round is ONE
+    observe-fused job (relax join + min-aggregate + full-join merge,
+    with the dirty count and next bucket riding the materialization).
+
+    ``delta`` defaults to the mean edge weight (GAPBS's CLI default is
+    weight-scale-dependent; the mean keeps ~avg-degree relaxations per
+    bucket on uniform weights).
+    """
+    from pyspark.sql import Observation
+
+    from gms_spark.graph.build import stage_edges
+    from gms_spark.runtime.superstep import truncate_plan
+
+    spark = weighted_edges.sparkSession
+    weighted_edges = stage_edges(weighted_edges)
+    if delta is None:
+        delta = float(weighted_edges.agg(F.avg("weight")).first()[0] or 1.0)
+    if delta <= 0:
+        raise ValueError("delta must be positive")
+
+    state = truncate_plan(
+        spark.createDataFrame([(source, 0.0, True)], "vertex long, dist double, dirty boolean")
+    )
+    b = 0
+    rounds = 0
+    while rounds < max_rounds:
+        in_bucket = F.col("dirty") & (F.floor(F.col("dist") / delta) == b)
+        frontier = state.where(in_bucket).select("vertex", "dist")
+        relax = (
+            weighted_edges.join(frontier.withColumnRenamed("vertex", "src"), "src")
+            .select(F.col("dst").alias("vertex"), (F.col("dist") + F.col("weight")).alias("nd"))
+            .groupBy("vertex")
+            .agg(F.min("nd").alias("nd"))
+        )
+        was_frontier = F.coalesce(
+            F.col("_dirty") & (F.floor(F.col("_old") / delta) == b), F.lit(False)
+        )
+        obs = Observation()
+        new = (
+            state.select("vertex", F.col("dist").alias("_old"), F.col("dirty").alias("_dirty"))
+            .join(relax, "vertex", "full")
+            .select(
+                "vertex",
+                F.least(
+                    F.coalesce("_old", F.lit(float("inf"))), F.coalesce("nd", F.lit(float("inf")))
+                ).alias("dist"),
+                # improved → dirty; expanded-and-not-improved → clean;
+                # untouched → carry the flag
+                F.when(F.coalesce("nd", F.lit(float("inf"))) < F.coalesce("_old", F.lit(float("inf"))), F.lit(True))
+                .when(was_frontier, F.lit(False))
+                .otherwise(F.coalesce("_dirty", F.lit(False)))
+                .alias("dirty"),
+            )
+            .observe(
+                obs,
+                F.sum(F.when(F.col("dirty"), 1).otherwise(0)).alias("n_dirty"),
+                F.min(F.when(F.col("dirty"), F.floor(F.col("dist") / delta))).alias("next_b"),
+            )
+        )
+        new = truncate_plan(new)
+        state.unpersist()
+        state = new
+        rounds += 1
+        got = obs.get
+        if int(got["n_dirty"] or 0) == 0:
+            return state.select("vertex", "dist")
+        b = int(got["next_b"])
+    raise RuntimeError(f"sssp_delta_stepping did not converge within {max_rounds} rounds")
+
+
 def jones_plassmann(edges: DataFrame, seed: int = 27491095, max_iters: int = 500):
     """JP v1 (seeded-hash priorities) — delegates to the coloring menu's
     shared kernel; see gms_spark.graph.coloring for the full variant

@@ -196,3 +196,22 @@ def test_mce_edge_parallel_split_identical_and_bounded(spark):
     max_after = split.agg(F.max(F.size("P"))).first()[0]
     assert max_before > 8  # the skewed graph does produce dense roots
     assert max_after < max_before  # one BK level strictly shrinks the straggler
+
+
+def test_sssp_delta_stepping_matches_bellman_ford(spark):
+    """Cross-algorithm identity on a weighted skewed R-MAT graph: the
+    bucketed delta-stepping expansion must reach exactly Bellman-Ford's
+    distance fixpoint (sssp.cc:54-120 semantics)."""
+    from gms_spark.graph.build import build_undirected
+    from gms_spark.graph.generators import insert_weights, rmat_el
+    from gms_spark.graph.traversal import sssp, sssp_delta_stepping
+
+    w = insert_weights(build_undirected(rmat_el(spark, scale=8, deg=8, seed=2))).localCheckpoint(
+        eager=True
+    )
+    a = {r["vertex"]: r["dist"] for r in sssp(w, 0).collect()}
+    b = {r["vertex"]: r["dist"] for r in sssp_delta_stepping(w, 0).collect()}
+    assert a == b and len(a) > 50
+    # a second delta also converges to the same fixpoint
+    c = {r["vertex"]: r["dist"] for r in sssp_delta_stepping(w, 0, delta=2.0).collect()}
+    assert a == c
