@@ -8,8 +8,10 @@ Covers the reference's reader dispatch (gms/third_party/gapbs/reader.h:220-248):
          honoring the 'symmetric' header
   .graph METIS adjacency-per-line, 1-based     (reader.h:88-145)
 
-The reference's binary .sg/.wsg memory images are replaced by our parquet
-snapshots (TableIO) — same role (fast reload of a built graph).
+The reference's binary .sg/.wsg memory images are supported for interop
+(read_sg/write_sg, reader.h:252-298 layout, driver-side — one memory
+image is not splittable); the engine's own snapshot format remains the
+TableIO parquet tables (parallel-readable, schema'd, atomic).
 
 All readers return edges(src: long, dst: long[, weight: double]) and are
 plain DataFrame plans (csv/text scan + select/filter), so Catalyst prunes
@@ -105,3 +107,83 @@ def _read_metis(spark: SparkSession, path: str) -> DataFrame:
         (F.col("_ln") - 1).alias("src"),
         F.explode(_tokens(F.col("value"))).alias("d"),
     ).select("src", (F.col("d").cast("long") - 1).alias("dst"))
+
+
+def read_sg(spark: SparkSession, path: str) -> DataFrame:
+    """GAPBS binary CSR snapshot (.sg / .wsg) → edges DataFrame.
+
+    Layout per gms/third_party/gapbs/reader.h:252-298 / writer.h:39-69:
+    [bool directed][int64 num_edges][int64 num_nodes]
+    [(n+1)·int64 offsets][num_edges neighbors], where a neighbor is an
+    int32 dst (.sg) or an (int32 dst, int32 weight) pair (.wsg); a
+    directed file appends the inverse CSR (ignored here — the forward
+    CSR already carries every edge). Parsed on the driver: a .sg file is
+    a single process memory image, not a splittable format — this reader
+    exists for interop/cross-validation with reference-serialized
+    graphs, while the engine's own snapshot format remains TableIO
+    parquet (readable in parallel, schema'd, atomic).
+    """
+    import numpy as np
+    import pandas as pd
+
+    weighted = path.endswith(".wsg")
+    with open(path, "rb") as f:
+        buf = f.read()
+    off = 0
+    directed = bool(buf[0])
+    off += 1
+    num_edges = int(np.frombuffer(buf, "<i8", 1, off)[0])
+    off += 8
+    num_nodes = int(np.frombuffer(buf, "<i8", 1, off)[0])
+    off += 8
+    offsets = np.frombuffer(buf, "<i8", num_nodes + 1, off)
+    off += 8 * (num_nodes + 1)
+    if weighted:
+        nb = np.frombuffer(buf, "<i4", num_edges * 2, off).reshape(-1, 2)
+        dst, wts = nb[:, 0], nb[:, 1]
+    else:
+        dst = np.frombuffer(buf, "<i4", num_edges, off)
+        wts = None
+    src = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(offsets))
+    pdf = pd.DataFrame({"src": src, "dst": dst.astype(np.int64)})
+    if wts is not None:
+        pdf["weight"] = wts.astype(np.float64)
+    return spark.createDataFrame(pdf)
+
+
+def write_sg(edges: DataFrame, path: str) -> None:
+    """Serialize an edge table as a GAPBS .sg/.wsg memory image
+    (writer.h:39-69 layout; 'directed' false — callers pass the
+    symmetrized table, matching the reference's default-symmetrize
+    ingest). Driver-side (the format is one memory image); intended for
+    interop/testing, not as the engine's checkpoint path. Weighted
+    output requires integer-valued weights (.wsg stores int32, the only
+    weight type the format supports — reader.h:266-270)."""
+    import struct
+
+    import numpy as np
+
+    weighted = path.endswith(".wsg")
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    pdf = edges.select(*cols).orderBy("src", "dst").toPandas()
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    n = int(max(src.max(), dst.max()) + 1) if len(src) else 0
+    m = len(src)
+    counts = np.bincount(src, minlength=n)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype("<i8")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<?", False))
+        f.write(struct.pack("<q", m))
+        f.write(struct.pack("<q", n))
+        f.write(offsets.tobytes())
+        if weighted:
+            w = pdf["weight"].to_numpy()
+            if not np.allclose(w, np.round(w)):
+                raise ValueError(".wsg stores int32 weights; non-integer weights given")
+            nb = np.empty((m, 2), dtype="<i4")
+            nb[:, 0] = dst
+            nb[:, 1] = np.round(w).astype("<i4")
+            f.write(nb.tobytes())
+        else:
+            f.write(dst.astype("<i4").tobytes())

@@ -50,3 +50,31 @@ def test_metis(spark, tmp_path):
 def test_golden_graph_via_reader(spark):
     df = read_edge_list(spark, "tests/data/triangles_3.el")
     assert df.count() == 11  # 10 newlines + unterminated final row
+
+
+def test_sg_round_trip(spark, tmp_path):
+    """GAPBS binary snapshot interop (reader.h:252-298 layout): the .el
+    graph serialized to .sg and read back must be edge-identical; same
+    for .wsg with integer weights."""
+    from gms_spark.graph.build import build_undirected
+    from gms_spark.io.readers import read_edge_list, read_sg, write_sg
+
+    und = build_undirected(
+        read_edge_list(spark, "tests/data/triangles_3.el")
+    ).localCheckpoint(eager=True)
+    p = str(tmp_path / "g.sg")
+    write_sg(und, p)
+    back = read_sg(spark, p)
+    a = sorted((r["src"], r["dst"]) for r in und.collect())
+    b = sorted((r["src"], r["dst"]) for r in back.collect())
+    assert a == b and len(a) > 10
+
+    from pyspark.sql import functions as F
+
+    w = und.withColumn("weight", (1 + (F.col("src") + F.col("dst")) % 7).cast("double"))
+    pw = str(tmp_path / "g.wsg")
+    write_sg(w, pw)
+    backw = read_sg(spark, pw)
+    aw = sorted((r["src"], r["dst"], r["weight"]) for r in w.collect())
+    bw = sorted((r["src"], r["dst"], r["weight"]) for r in backw.collect())
+    assert aw == bw
