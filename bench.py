@@ -236,6 +236,8 @@ def run_headline_queries(spark) -> dict:
         "link_prediction",
         "coreness",
         "coloring",
+        "coloring_barenboim",
+        "sssp_delta",
         "minhash_dedup",
         "jaccard_dedup",
         "exact_dedup",

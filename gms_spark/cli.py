@@ -21,7 +21,7 @@ reference's per-kernel benchmark binaries (gms/benchmarks/*.cc):
                  inserted weights, GAPBS-style)
   orderings      coreness | degeneracy
   mining         kclique | kclique_star | mce | subiso_square   (--k)
-  coloring       coloring (--variant jp_random|jp_lf|jp_sl|johansson)
+  coloring       coloring (--variant jp_random|jp_lf|jp_sl|johansson|barenboim|elkin)
   similarity     vertex_similarity | link_prediction   (--metric, --topq)
 
 A checkpoint dir makes the superstep kernels resumable (kill → relaunch
@@ -55,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k", type=int, default=4, help="clique size for kclique/kclique_star")
     p.add_argument("--bc-samples", type=int, default=0, help="betweenness: 0 = exact, else sample count")
     p.add_argument("--variant", default="jp_random",
-                   choices=["jp_random", "jp_lf", "jp_sl", "johansson"], help="coloring variant")
+                   choices=["jp_random", "jp_lf", "jp_sl", "johansson", "barenboim", "elkin"], help="coloring variant")
     p.add_argument("--metric", default="adamic_adar", help="link_prediction similarity metric")
     p.add_argument("--topq", type=int, default=20, help="link_prediction top-q")
     args = p.parse_args(argv)
@@ -142,12 +142,16 @@ def main(argv: list[str] | None = None) -> int:
                 for r in _verts(graph).orderBy("vertex").limit(args.bc_samples).collect()
             ]
         out, iters = betweenness_centrality(graph, sources=sources), 1
-    elif args.kernel in ("coreness", "degeneracy"):
+    elif args.kernel == "coreness":
+        from gms_spark.graph.orderings import coreness_hindex
+
+        out, rounds = coreness_hindex(graph, return_rounds=True)
+        iters = rounds
+    elif args.kernel == "degeneracy":
         from gms_spark.graph.orderings import degeneracy_order
 
-        res = degeneracy_order(graph)
-        out = res.select("vertex", "core") if args.kernel == "coreness" else res
-        iters = int(res.agg({"core": "max"}).first()[0] or 0)  # = degeneracy
+        out = degeneracy_order(graph)
+        iters = int(out.agg({"core": "max"}).first()[0] or 0)  # = degeneracy
     elif args.kernel == "kclique":
         from gms_spark.graph.kclique import kclique_count
 
@@ -169,7 +173,8 @@ def main(argv: list[str] | None = None) -> int:
         from gms_spark.graph import coloring as col
 
         res = {"jp_random": col.jp_random, "jp_lf": col.jp_lf, "jp_sl": col.jp_sl,
-               "johansson": col.johansson}[args.variant](graph)
+               "johansson": col.johansson, "barenboim": col.barenboim,
+               "elkin": col.elkin}[args.variant](graph)
         out, iters = res.colors, res.rounds
     elif args.kernel == "vertex_similarity":
         from gms_spark.graph.similarity import vertex_similarity
