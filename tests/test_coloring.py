@@ -98,7 +98,7 @@ def test_jp_proper_on_rmat_hub_graph(spark):
     from gms_spark.graph.build import build_undirected, degrees
     from gms_spark.graph.generators import rmat_el
 
-    und = build_undirected(rmat_el(spark, scale=10, deg=8)).persist()
+    und = build_undirected(rmat_el(spark, scale=9, deg=8)).persist()
     max_deg = degrees(und).agg(F.max("degree")).first()[0]
     res = jp_random(und)
     assert is_proper(und, res.colors)

@@ -29,8 +29,8 @@ def test_tableio_atomic_snapshots(spark, tmp_path):
 
 def test_pagerank_checkpointed_equals_uncheckpointed(spark, graph_df, tmp_path):
     io = TableIO(str(tmp_path))
-    a = pagerank(graph_df, tol=1e-8, max_iters=50)
-    b = pagerank(graph_df, tol=1e-8, max_iters=50, io=io, run_id="ckpt1")
+    a = pagerank(graph_df, tol=1e-4, max_iters=50)
+    b = pagerank(graph_df, tol=1e-4, max_iters=50, io=io, run_id="ckpt1")
     sa = {r["vertex"]: r["score"] for r in a.scores.collect()}
     sb = {r["vertex"]: r["score"] for r in b.scores.collect()}
     assert sa.keys() == sb.keys()
@@ -42,14 +42,14 @@ def test_pagerank_checkpointed_equals_uncheckpointed(spark, graph_df, tmp_path):
 def test_kill_and_resume_identical(spark, graph_df, tmp_path):
     """Kill after superstep k → relaunch resumes and matches a clean run."""
     io = TableIO(str(tmp_path))
-    full = pagerank(graph_df, tol=1e-8, max_iters=50)
+    full = pagerank(graph_df, tol=1e-4, max_iters=50)
 
     # "killed" run: budget of 3 supersteps, then a fresh process resumes
-    partial = pagerank(graph_df, tol=1e-8, max_iters=3, io=io, run_id="resume1")
+    partial = pagerank(graph_df, tol=1e-4, max_iters=3, io=io, run_id="resume1")
     assert partial.iterations == 3
     assert io.last_committed("pagerank_state_resume1") == 2
 
-    resumed = pagerank(graph_df, tol=1e-8, max_iters=50, io=io, run_id="resume1")
+    resumed = pagerank(graph_df, tol=1e-4, max_iters=50, io=io, run_id="resume1")
     sr = {r["vertex"]: r["score"] for r in resumed.scores.collect()}
     sf = {r["vertex"]: r["score"] for r in full.scores.collect()}
     for v in sf:
@@ -68,9 +68,9 @@ def test_kill_and_resume_identical(spark, graph_df, tmp_path):
 
 def test_resume_skips_completed_run(spark, graph_df, tmp_path):
     io = TableIO(str(tmp_path))
-    first = pagerank(graph_df, tol=1e-6, max_iters=50, io=io, run_id="done1")
+    first = pagerank(graph_df, tol=1e-4, max_iters=50, io=io, run_id="done1")
     n_lineage = len(io.lineage_rows())
-    again = pagerank(graph_df, tol=1e-6, max_iters=50, io=io, run_id="done1")
+    again = pagerank(graph_df, tol=1e-4, max_iters=50, io=io, run_id="done1")
     assert len(io.lineage_rows()) == n_lineage  # nothing recomputed
     sa = {r["vertex"]: r["score"] for r in first.scores.collect()}
     sb = {r["vertex"]: r["score"] for r in again.scores.collect()}
