@@ -76,10 +76,23 @@ def pagerank(
     edges = stage_edges(edges)
 
     verts = vertices(edges).persist()
-    n = verts.count()
     deg = degrees(edges)
 
-    n_dangling = verts.join(deg, "vertex", "left_anti").count()
+    # ONE preamble job for all three scalars (n, dangling count, in-edge
+    # coverage) — they were three separate actions over the same joins
+    dstv = edges.select(F.col("dst").alias("vertex")).distinct()
+    stats = (
+        verts.join(deg, "vertex", "left")
+        .join(dstv.withColumn("_in", F.lit(1)), "vertex", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("degree").isNull(), 1).otherwise(0)).alias("n_dangling"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_uncovered"),
+        )
+        .first()
+    )
+    n = int(stats["n"])
+    n_dangling = int(stats["n_dangling"] or 0)
     if n_dangling and dangling == "error":
         raise ValueError(
             f"{n_dangling} vertices have out-degree 0; the reference semantics "
@@ -104,9 +117,7 @@ def pagerank(
     # symmetrized graph with no dangling vertices), groupBy(dst) already
     # yields a row per vertex and the per-superstep fill-join against the
     # vertex table can be skipped — one shuffle less per iteration.
-    full_in_coverage = (
-        n_dangling == 0 and edges.select(F.col("dst").alias("vertex")).distinct().count() == n
-    )
+    full_in_coverage = n_dangling == 0 and int(stats["n_uncovered"] or 0) == 0
 
     base = (1.0 - damping) / n
     scores0 = verts.select("vertex", F.lit(1.0 / n).alias("score"))
