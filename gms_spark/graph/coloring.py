@@ -45,6 +45,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gms_spark.graph.build import degrees, vertices
 from gms_spark.runtime.superstep import iterate, truncate_plan
@@ -81,9 +82,25 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
             state.select(F.col("vertex").alias("src"), F.col("color").alias("n_color"), F.col("prio").alias("n_prio")),
             "src",
         ).select(F.col("dst").alias("vertex"), "n_color", "n_prio", F.col("src").alias("n_vertex"))
-        agg = nbr.groupBy("vertex").agg(
-            F.max(F.when(F.col("n_color").isNull(), F.struct("n_prio", "n_vertex"))).alias("max_unc"),
-            F.sort_array(F.collect_set("n_color")).alias("used"),
+        # Smallest-missing-color RELATIONALLY — no per-row color arrays
+        # (a hub's collect_set would be an O(Δ)-sized single row; at web
+        # Δ≈10^7 that is a 10-100 MB row and an executor OOM). dense_rank
+        # over (vertex, color) gives each DISTINCT neighbor color its
+        # 0-based ascending rank rk; colors are non-negative and strictly
+        # increasing per rank, so the mex is the first rank whose color
+        # overshoots it — else 1 + the last rank. One exchange (the
+        # window's); the groupBy reuses its partitioning.
+        rk = (
+            F.dense_rank().over(Window.partitionBy("vertex").orderBy(F.col("n_color").asc_nulls_last())) - 1
+        ).cast("long")
+        agg = (
+            nbr.withColumn("rk", rk)
+            .groupBy("vertex")
+            .agg(
+                F.max(F.when(F.col("n_color").isNull(), F.struct("n_prio", "n_vertex"))).alias("max_unc"),
+                F.min(F.when(F.col("n_color").isNotNull() & (F.col("n_color") != F.col("rk")), F.col("rk"))).alias("gap"),
+                F.max(F.when(F.col("n_color").isNotNull(), F.col("rk"))).alias("max_rk"),
+            )
         )
         cand = (
             unc.join(agg, "vertex", "left")
@@ -93,13 +110,7 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
             )
             .select(
                 "vertex",
-                F.coalesce(
-                    F.filter(
-                        F.sequence(F.lit(0), F.greatest(F.coalesce(F.size("used"), F.lit(0)), F.lit(0))),
-                        lambda c: ~F.array_contains(F.coalesce(F.col("used"), F.array().cast("array<long>")), c.cast("long")),
-                    ).getItem(0),
-                    F.lit(0),
-                )
+                F.coalesce(F.col("gap"), F.col("max_rk") + 1, F.lit(0))
                 .cast("long")
                 .alias("new_color"),
             )
@@ -242,12 +253,35 @@ def _round_salt(i: int, seed: int) -> int:
     return (i * ROUND_SALT + seed * ARITH_B) % ARITH_P
 
 
-def _neighbor_used(edges: DataFrame, state: DataFrame) -> DataFrame:
-    """(vertex, used): ascending distinct colors held by v's neighbors."""
+def _used_ranked(edges: DataFrame, state: DataFrame, only: DataFrame | None = None) -> DataFrame:
+    """(vertex, u, j, m): neighbor-held colors as RANKED ROWS, not arrays.
+
+    ``u`` is a color held by some neighbor of ``vertex``; ``j`` its
+    1-based ascending dense rank among the vertex's DISTINCT held colors
+    (duplicate neighbor colors share a rank); ``m`` the count of distinct
+    held colors. Replaces the former sort_array(collect_set()) helper —
+    a hub's used-color set is O(Δ) and must never ride in ONE row; as
+    ranked rows it distributes, and both windows share one exchange.
+    ``only``: optional (vertex) frame — restrict to those vertices.
+    """
+    nbr = _used_rows(edges, state, only)
+    w = Window.partitionBy("vertex").orderBy("u")
+    wa = Window.partitionBy("vertex")
+    return (
+        nbr.withColumn("j", F.dense_rank().over(w).cast("long"))
+        .withColumn("m", F.max("j").over(wa))
+    )
+
+
+def _used_rows(edges: DataFrame, state: DataFrame, only: DataFrame | None = None) -> DataFrame:
+    """(vertex, u): a neighbor of ``vertex`` holds color ``u`` (with
+    multiplicity — dedup/rank is the caller's choice)."""
     nbr = edges.join(
         state.select(F.col("vertex").alias("src"), F.col("color").alias("n_color")), "src"
-    ).select(F.col("dst").alias("vertex"), "n_color")
-    return nbr.groupBy("vertex").agg(F.sort_array(F.collect_set("n_color")).alias("used"))
+    ).where(F.col("n_color").isNotNull()).select(F.col("dst").alias("vertex"), F.col("n_color").alias("u"))
+    if only is not None:
+        nbr = nbr.join(only.select("vertex"), "vertex", "left_semi")
+    return nbr
 
 
 def barenboim(
@@ -296,20 +330,28 @@ def barenboim(
         """One speculative round; returns (new_state, Observation of the
         uncolored-after and newly-colored counts)."""
         salt = _round_salt(i, seed)
-        cand = state.where(F.col("color").isNull())
+        cand = state.where(F.col("color").isNull()).select("vertex")
         if active is not None:
             cand = cand.join(active, "vertex", "left_semi")
-        cand = (
-            cand.join(_neighbor_used(edges, state), "vertex", "left")
-            .select("vertex", F.coalesce("used", F.array().cast("array<long>")).alias("used"))
+        # r-th free color of {1..Δ+1}\used, RELATIONALLY (the former
+        # skip-fold walked a per-row used ARRAY — O(Δ) on hubs). With
+        # distinct used colors u_1<…<u_m ranked j=1..m, exactly u_j − j
+        # free colors precede u_j, and u_j − j is non-decreasing in j; so
+        # the k-th free color (k = draw+1) is k + j* where
+        # j* = max{j : u_j − j < k} (0 if none). Pure row aggregates.
+        mix = ((F.col("vertex") % ARITH_P) * ARITH_A + F.lit(salt).cast("long")) % ARITH_P
+        used = _used_ranked(edges, state, only=cand)
+        k_nn = mix % (F.lit(palette_n).cast("long") - F.col("m")) + 1
+        chosen_nn = used.groupBy("vertex").agg(
+            (F.max(k_nn) + F.coalesce(F.max(F.when(F.col("u") - F.col("j") < k_nn, F.col("j"))), F.lit(0)))
+            .cast("long")
+            .alias("chosen_nn")
         )
-        psize = (F.lit(palette_n) - F.size("used")).cast("long")
-        r = ((F.col("vertex") % ARITH_P) * ARITH_A + F.lit(salt).cast("long")) % ARITH_P % psize
-        # r-th free color of {1..Δ+1}\used: skip-fold over ascending used
-        chosen = F.aggregate(
-            "used", (r + 1).cast("long"), lambda acc, c: F.when(c <= acc, acc + 1).otherwise(acc)
+        # vertices with NO colored neighbor: psize = Δ+1, chosen = k
+        k0 = (mix % F.lit(palette_n) + 1).cast("long")
+        cand = cand.join(chosen_nn, "vertex", "left").select(
+            "vertex", F.coalesce("chosen_nn", k0).alias("chosen")
         )
-        cand = cand.select("vertex", chosen.alias("chosen"))
         pairs = (
             edges.join(
                 cand.select(F.col("vertex").alias("src"), F.col("chosen").alias("src_chosen")), "src"
@@ -336,6 +378,12 @@ def barenboim(
         return new, obs
 
     def run_phase(state: DataFrame, active: DataFrame | None, rounds: int, i0: int):
+        # rounds can legitimately reach 0 when the caller's budget is
+        # exhausted (e.g. elkin's finisher): report the REAL uncolored
+        # count instead of None, so the caller's guards see the truth
+        # rather than a silently-NULL-colored state.
+        if rounds <= 0:
+            return state, int(state.where(F.col("color").isNull()).count()), i0
         uncolored = None
         i = i0
         for _ in range(rounds):
@@ -366,13 +414,15 @@ def barenboim(
         split = unc.join(udeg, "vertex", "left").fillna(0, ["ud"]).localCheckpoint(eager=True)
         hi = split.where(F.col("ud") > delta_hat).select("vertex")
         lo = split.where(F.col("ud") <= delta_hat).select("vertex")
+        # each phase (and the cleanup) is capped by the REMAINING budget
+        # so total rounds never exceed max_iters
         p2 = max(1, math.ceil(5 * math.log(delta_hat + 1.0) / math.log(4.0 / 3.0)))
         if hi.limit(1).count():
-            state, uncolored, i = run_phase(state, hi, p2, i)
+            state, uncolored, i = run_phase(state, hi, min(p2, max_iters - i), i)
         if uncolored and lo.limit(1).count():
-            state, uncolored, i = run_phase(state, lo, p2, i)
+            state, uncolored, i = run_phase(state, lo, min(p2, max_iters - i), i)
         # cleanup: everyone uncolored until done (:160-166)
-        if uncolored:
+        if uncolored and max_iters - i > 0:
             state, uncolored, i = run_phase(state, None, max_iters - i, i)
 
     if uncolored:
@@ -395,9 +445,15 @@ def elkin(edges: DataFrame, seed: int = 13, max_iters: int = 500) -> ColoringRes
     higher-id-wins). When a round makes no progress the remaining
     vertices finish with the Barenboim one-shot kernel, exactly like the
     reference's direct interface. Draws use the engine LCG mix
-    (SQL-replayable); palettes are evaluated as lazy filters over
-    sequence(1, Δ+1) — O(Δ) work per uncolored vertex per round, the
-    same bound as the reference's per-vertex palette scan.
+    (SQL-replayable). The palette scan is a broadcast range join of the
+    uncolored vertices against a generated colors table {1..Δ+1} with the
+    sampling predicate applied IN the join — O(Δ) work per uncolored
+    vertex per round (the same bound as the reference's per-vertex
+    palette scan, coloring_common_barenboim_elkin.h:79-92) but carried as
+    distributed ROWS: no per-row O(Δ) palette array ever exists, so a
+    10^7-degree hub costs FLOPs, not a 100 MB row. (At Δ beyond ~10^8
+    the colors table should be chunked into range slices per round;
+    irrelevant below that.)
     """
     import math
 
@@ -438,54 +494,48 @@ def elkin(edges: DataFrame, seed: int = 13, max_iters: int = 500) -> ColoringRes
         p_pre = (d_i + eps_delta) / (d_i + 1.0)
         d_i = d_next(d_i)
         salt = _round_salt(i, seed)
-        cand = (
-            state.where(F.col("color").isNull())
-            .join(_neighbor_used(edges, state), "vertex", "left")
-            .select("vertex", F.coalesce("used", F.array().cast("array<long>")).alias("used"))
+        unc = state.where(F.col("color").isNull()).select("vertex")
+        used = _used_rows(edges, state, only=unc)  # rows, never arrays
+        m_tbl = used.groupBy("vertex").agg(F.countDistinct("u").alias("m"))
+        cand = unc.join(m_tbl, "vertex", "left").select(
+            "vertex", F.coalesce("m", F.lit(0)).cast("long").alias("m")
         )
-        psize = (F.lit(palette_n) - F.size("used")).cast("long")
-        # sample color c iff mix(v,c,i)/P < p_pre/psize  ⇔  mix·psize < p_pre·P
+        # sample color c iff mix(v,c,i)/P < p_pre/psize  ⇔  mix·psize < p_pre·P,
+        # evaluated as a broadcast range join filtered BEFORE aggregation
+        psize = F.lit(palette_n).cast("long") - F.col("m")
         thresh = F.lit(int(p_pre * ARITH_P)).cast("long")
-        samp = cand.select(
-            "vertex",
-            F.filter(
-                F.sequence(F.lit(1).cast("long"), F.lit(palette_n).cast("long")),
-                lambda c: (~F.array_contains("used", c))
-                & (
-                    ((F.col("vertex") % ARITH_P) * ARITH_A + c * ARITH_C + F.lit(salt).cast("long"))
-                    % ARITH_P
-                    * psize
-                    < thresh
-                ),
-            ).alias("samp"),
+        colors_tbl = F.broadcast(
+            edges.sparkSession.range(1, palette_n + 1).select(F.col("id").alias("c"))
         )
-        low = (
-            edges.join(
-                samp.select(F.col("vertex").alias("src"), F.col("samp").alias("n_samp")), "src"
-            )
-            .where(F.col("src") < F.col("dst"))
-            .select(F.col("dst").alias("vertex"), "n_samp")
-            .groupBy("vertex")
-            .agg(F.array_distinct(F.flatten(F.collect_list("n_samp"))).alias("lower"))
+        samp_pred = (
+            ((F.col("vertex") % ARITH_P) * ARITH_A + F.col("c") * ARITH_C + F.lit(salt).cast("long"))
+            % ARITH_P
+            * psize
+            < thresh
         )
-        avail = samp.join(low, "vertex", "left").select(
-            "vertex",
-            F.array_except("samp", F.coalesce("lower", F.array().cast("array<long>"))).alias("avail"),
+        samp = (
+            cand.join(colors_tbl, samp_pred)
+            .select("vertex", "c")
+            # palette(v) excludes neighbor-held colors (was ~array_contains)
+            .join(used.select("vertex", F.col("u").alias("c")), ["vertex", "c"], "left_anti")
         )
+        # drop colors also sampled by a LOWER-id neighbor (:84-112) — a
+        # row-level anti-join (was a flatten(collect_list) hub array)
+        lower = (
+            edges.where(F.col("src") < F.col("dst"))
+            .join(samp.select(F.col("vertex").alias("src"), "c"), "src")
+            .select(F.col("dst").alias("vertex"), "c")
+        )
+        avail = samp.join(lower, ["vertex", "c"], "left_anti")
+        # commit to the (mix % |avail(v)|)-th smallest available sample
         pick_salt = _round_salt(i, seed + 1)
-        pick = F.when(
-            F.size("avail") > 0,
-            F.element_at(
-                "avail",
-                (
-                    ((F.col("vertex") % ARITH_P) * ARITH_A + F.lit(pick_salt).cast("long"))
-                    % ARITH_P
-                    % F.size("avail")
-                    + 1
-                ).cast("int"),
-            ),
+        pick_mix = ((F.col("vertex") % ARITH_P) * ARITH_A + F.lit(pick_salt).cast("long")) % ARITH_P
+        picked = avail.withColumn(
+            "idx", (F.row_number().over(Window.partitionBy("vertex").orderBy("c")) - 1).cast("long")
+        ).withColumn("cnt", F.count("*").over(Window.partitionBy("vertex")))
+        keep = picked.where(F.col("idx") == pick_mix % F.col("cnt")).select(
+            "vertex", F.col("c").alias("new_color")
         )
-        keep = avail.select("vertex", pick.alias("new_color")).where(F.col("new_color").isNotNull())
         obs = Observation()
         new = (
             state.join(keep, "vertex", "left")
@@ -502,7 +552,9 @@ def elkin(edges: DataFrame, seed: int = 13, max_iters: int = 500) -> ColoringRes
             break  # no progress — hand off (made_progress, :113)
 
     if uncolored:
-        res = barenboim(edges, seed=seed, max_iters=max_iters - i, state0=state)
+        # the finisher needs a non-zero budget even when this loop spent
+        # max_iters (progress ≥ 1 vertex/round is guaranteed there)
+        res = barenboim(edges, seed=seed, max_iters=max(1, max_iters - i), state0=state)
         return ColoringResult(res.colors, i + res.rounds, res.n_colors)
     colors = state.select("vertex", "color")
     n_colors = int(colors.agg(F.countDistinct("color")).first()[0])

@@ -107,16 +107,20 @@ def add_false_links(
     half = train.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
+    # Keep the FIRST `mutations` distinct draws in draw order — a bare
+    # .distinct().limit() is not stable across re-executions of the lazy
+    # plan, so two downstream actions could see two different mutated
+    # graphs. Ordering by the draw index pins the choice.
     remove = (
         sample_edges(train, k=mutations * 2, seed=seed)
-        .select("a", "b")
-        .distinct()
+        .groupBy("a", "b")
+        .agg(F.min("draw").alias("draw"))
+        .orderBy("draw")
         .limit(mutations)
+        .select("a", "b")
     )
     add = (
         sample_complement_edges(train, k=mutations * 4, seed=seed + 1)
-        .select("a", "b")
-        .distinct()
         .where(F.col("a") != F.col("b"))
         .join(half, ["a", "b"], "left_anti")  # complement of train by construction; belt+braces
     )
@@ -125,8 +129,22 @@ def add_false_links(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         add = add.join(test_half, ["a", "b"], "left_anti")  # evaluation.h:193-195
-    add = add.limit(mutations)
-    mutated_half = half.join(remove, ["a", "b"], "left_anti").unionByName(add)
+    add = (
+        add.groupBy("a", "b")
+        .agg(F.min("draw").alias("draw"))
+        .orderBy("draw")
+        .limit(mutations)
+        .select("a", "b")
+    )
+    n_rm, n_add = remove.count(), add.count()
+    if n_rm < mutations or n_add < mutations:
+        raise ValueError(
+            f"add_false_links: oversample produced only {n_rm} removals / "
+            f"{n_add} insertions for {mutations} requested mutations; "
+            "raise the oversample factor or lower `mutations`"
+        )
+    # one stable mutated graph for EVERY downstream action
+    mutated_half = half.join(remove, ["a", "b"], "left_anti").unionByName(add).localCheckpoint(eager=True)
     return build_undirected(mutated_half.select(F.col("a").alias("src"), F.col("b").alias("dst")))
 
 

@@ -146,7 +146,11 @@ def bfs_direction_optimizing(
         )
         got = obs.get
         c = int(got["c"] or 0)
-        edges_to_check -= scout  # the old frontier's edges are spent
+        if not bottom_up:
+            # GAPBS deducts scouted edges only on TOP-DOWN steps
+            # (bfs.cc TDStep call site); bottom-up levels leave the
+            # budget untouched, so the switch-back heuristic matches.
+            edges_to_check -= scout
         scout = int(got["sd"] or 0)
         awake = c
         if c == 0:

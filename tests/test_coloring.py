@@ -92,9 +92,9 @@ def test_barenboim_proper_on_rmat_hub_graph(spark):
 
 def test_jp_proper_on_rmat_hub_graph(spark):
     """Propriety + palette bound on a skewed R-MAT graph (power-law hubs):
-    the JP round's only per-vertex aggregate is collect_set of neighbor
-    COLORS — bounded by the palette, not the hub degree — so hubs flow
-    through as plain edge rows with map-side partial aggregation."""
+    every coloring round is pure row algebra — joins, windows, scalar
+    aggregates — so hubs flow through as distributed edge ROWS; no
+    per-vertex array ever holds a hub neighborhood."""
     from gms_spark.graph.build import build_undirected, degrees
     from gms_spark.graph.generators import rmat_el
 
@@ -105,3 +105,58 @@ def test_jp_proper_on_rmat_hub_graph(spark):
     assert res.colors.where(F.col("color").isNull()).count() == 0
     assert res.n_colors <= max_deg + 1
     und.unpersist()
+
+
+def test_elkin_proper_on_rmat_hub_graph(spark):
+    """Elkin's palette scan as a broadcast range join + row anti-joins:
+    must color a skewed hub graph without per-row Δ-sized palettes."""
+    from gms_spark.graph.build import build_undirected, degrees
+    from gms_spark.graph.generators import rmat_el
+
+    und = build_undirected(rmat_el(spark, scale=9, deg=8)).persist()
+    max_deg = degrees(und).agg(F.max("degree")).first()[0]
+    res = elkin(und)
+    assert is_proper(und, res.colors)
+    assert res.colors.where(F.col("color").isNull()).count() == 0
+    assert res.n_colors <= max_deg + 1
+    und.unpersist()
+
+
+def test_coloring_rounds_build_no_arrays(graph):
+    """Hub-safety regression (round-3 verdict, weak #1): NO coloring
+    variant may build per-row arrays of neighbor colors/palettes — at a
+    web-graph hub (Δ ≈ 10^6-10^7) a single such row is 10-100 MB and
+    kills the executor. The former implementations used
+    sort_array(collect_set(...)), sequence(0, Δ+1) filters and
+    flatten(collect_list(...)); assert none of those reappear — at the
+    SOURCE level for the whole module (each round truncates its plan, so
+    a final-state plan can't witness round operators) and at the PLAN
+    level for the shared used-colors helpers."""
+    import inspect
+
+    import gms_spark.graph.coloring as coloring_mod
+    from gms_spark.graph.build import vertices
+    from gms_spark.graph.coloring import _used_ranked, _used_rows
+
+    import io
+    import tokenize
+
+    src = inspect.getsource(coloring_mod)
+    code_names = {
+        t.string
+        for t in tokenize.generate_tokens(io.StringIO(src).readline)
+        if t.type == tokenize.NAME  # comments/docstrings excluded
+    }
+    for tok in ("collect_set", "collect_list", "sort_array", "sequence", "flatten", "array_except"):
+        assert tok not in code_names, f"hub-unsafe array aggregate {tok!r} back in coloring.py"
+
+    state = vertices(graph).select(
+        "vertex", F.when(F.col("vertex") % 2 == 0, F.col("vertex") % 5).cast("long").alias("color")
+    )
+    for df in (_used_rows(graph, state), _used_ranked(graph, state)):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        for tok in ("collect_set", "collect_list", "sort_array", "sequence("):
+            assert tok not in plan, f"hub-unsafe aggregate {tok!r} in helper plan"
+        assert "array" not in [f.dataType.typeName() for f in df.schema.fields], (
+            "used-colors helper must return rows, not arrays"
+        )
