@@ -45,13 +45,15 @@ def doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gms_spark.graph.build import build_undirected
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    # n as a broadcast 1-row scalar (the SQL twin's CROSS JOIN nn) — no
+    # driver-side count action; every doc_graph consumer saves one job
+    nn = docs.agg(F.count(F.lit(1)).alias("_n"))
     i, k = F.col("i"), F.col("k")
     links = docs.select(
         F.col("doc_id").alias("i"),
         F.explode(F.sequence(F.lit(1), (F.lit(1) + (F.col("doc_id") * F.col("doc_id")) % 7).cast("int"))).alias("k"),
-    )
-    r = (i * A1 + k * A2 + k * k * A3) % n
+    ).crossJoin(F.broadcast(nn))
+    r = (i * A1 + k * A2 + k * k * A3) % F.col("_n")
     dst = F.when((i + k) % 5 < 2, r % 16).otherwise(r)
     e = links.select(i.alias("src"), dst.alias("dst")).where(F.col("src") != F.col("dst"))
     return build_undirected(e)

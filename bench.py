@@ -337,6 +337,13 @@ def main() -> None:
     result: dict = {"sf": SF_DIR, "cpus": CPUS}
 
     spark = _session(CPUS, pin_shuffled_hash=False)
+    from pyspark.sql import functions as F
+
+    # one throwaway shuffle job so the FIRST headline query (pagerank)
+    # doesn't absorb JVM/codegen/session warmup (~8s) into its seconds —
+    # round-over-round comparisons were attributing it to whichever
+    # query ran first (the r3 "pagerank +38%" driver mystery)
+    spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count().collect()
     queries = run_headline_queries(spark)
     result["kclique_order"] = kclique_order_comparison(spark)
     result["bfs_direction"] = bfs_direction_comparison(spark)

@@ -30,7 +30,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from gms_spark.graph.build import degrees, vertices
 from gms_spark.io.tableio import TableIO
 from gms_spark.runtime.superstep import iterate
 
@@ -68,29 +67,34 @@ def pagerank(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    # materialize the edge input for the preamble: verts/degrees/
-    # dangling/coverage each run an action, and a lazy upstream plan
+    # materialize the edge input for the preamble: the vertex-stats and
+    # SpMV-matrix jobs each re-scan it, and a lazy upstream plan
     # (parquet → extraction → symmetrize) would re-execute per action
     from gms_spark.graph.build import stage_edges
 
     edges = stage_edges(edges)
 
-    verts = vertices(edges).persist()
-    deg = degrees(edges)
-
-    # ONE preamble job for all three scalars (n, dangling count, in-edge
-    # coverage) — they were three separate actions over the same joins
-    dstv = edges.select(F.col("dst").alias("vertex")).distinct()
-    stats = (
-        verts.join(deg, "vertex", "left")
-        .join(dstv.withColumn("_in", F.lit(1)), "vertex", "left")
-        .agg(
+    # ONE exchange for the whole vertex-side preamble: per-vertex
+    # out-degree + in-edge coverage in a single groupBy, with the three
+    # scalars (n, dangling count, uncovered count) riding the same job
+    # via df.observe. This replaces the former verts-distinct +
+    # verts⋈deg⋈dstv stats join (two extra exchanges + one extra job).
+    vobs = Observation()
+    vdeg = (
+        edges.select(F.col("src").alias("vertex"), F.lit(1).alias("_out"), F.lit(0).alias("_in"))
+        .unionAll(edges.select(F.col("dst").alias("vertex"), F.lit(0).alias("_out"), F.lit(1).alias("_in")))
+        .groupBy("vertex")
+        .agg(F.sum("_out").alias("degree"), F.max("_in").alias("_has_in"))
+        .observe(
+            vobs,
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("degree").isNull(), 1).otherwise(0)).alias("n_dangling"),
-            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_uncovered"),
+            F.sum(F.when(F.col("degree") == 0, 1).otherwise(0)).alias("n_dangling"),
+            F.sum(F.when(F.col("_has_in") == 0, 1).otherwise(0)).alias("n_uncovered"),
         )
-        .first()
+        .persist()
     )
+    vdeg.count()
+    stats = vobs.get
     n = int(stats["n"])
     n_dangling = int(stats["n_dangling"] or 0)
     if n_dangling and dangling == "error":
@@ -100,18 +104,23 @@ def pagerank(
             "dangling='redistribute'"
         )
 
-    # Static SpMV matrix: (src, dst, w=1/out_degree), partitioned by src once.
+    verts = vdeg.select("vertex")
+
+    # Static SpMV matrix: (src, dst, w=1/out_degree), partitioned by src
+    # once. The degree comes from a COUNT window over the src partition —
+    # the window's exchange IS the src repartition, so the whole table is
+    # one shuffle from the staged edges (no join against vdeg, no second
+    # repartition). On a real cluster this table is bucketed by src.
+    from pyspark.sql import Window
+
     ew = (
-        edges.join(deg.withColumnRenamed("vertex", "src"), "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("degree").cast("double")).alias("w"))
-        .repartition(num_partitions, "src")
+        edges.repartition(num_partitions, "src")
+        .select("src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double")).alias("w"))
         .persist()
     )
     ew.count()
 
-    dang = verts.join(deg, "vertex", "left_anti").persist() if n_dangling else None
-    if dang is not None:
-        dang.count()  # materialize before the edge cache is dropped
+    dang = vdeg.where(F.col("degree") == 0).select("vertex") if n_dangling else None
 
     # If every vertex receives at least one in-edge (always true for a
     # symmetrized graph with no dangling vertices), groupBy(dst) already
@@ -180,8 +189,8 @@ def pagerank(
     if io is None and check_every > 1 and not (n_dangling and dangling == "redistribute"):
         # Chunked fast path: chain check_every supersteps lazily, one job
         # per chunk (localCheckpoint truncates the plan at chunk ends).
+        # no eager count: the first chunk job materializes the cache
         scores = scores0.persist()
-        scores.count()
         deltas: list[float] = []
         done = 0
         while done < iters:
@@ -219,12 +228,12 @@ def pagerank(
                 deltas.append(float("inf"))
                 scores.unpersist()
                 scores = new
-        verts.unpersist()
+        vdeg.unpersist()
         ew.unpersist()
         return PageRankResult(scores, done, deltas)
 
     res = iterate(scores0, step, max_iters=iters, tol=tol if fixed_iters is None else -1.0,
                   io=io, kernel="pagerank", run_id=run_id)
-    verts.unpersist()
+    vdeg.unpersist()
     ew.unpersist()
     return PageRankResult(res.state, res.iterations, res.deltas)
