@@ -276,6 +276,7 @@ PR_CONV_ITERS_SF001 = 26  # 5 chunks of 5 + 1 confirmation superstep @ tol=1e-6
 COLORING_JP_ROUNDS = 28
 COLORING_JOHANSSON_ROUNDS = 24
 COLORING_BARENBOIM_ROUNDS = 6  # engine converges in 3 at sf0.001/sf0.01
+COLORING_ELKIN_ROUNDS = 20  # engine: 13 pure-Elkin rounds at sf0.001/sf0.01 (15 at sf0.1), no finisher
 CORENESS_HINDEX_ROUNDS = 16
 ADG_ROUNDS_SF001 = 5  # eps=0.1 avg-boundary peel rounds
 MCE_MAX_K_SF001 = 4  # largest maximal clique size
@@ -767,16 +768,134 @@ def _q_coloring_barenboim(spark, sf_dir):
 
 
 def _q_coloring_elkin(spark, sf_dir):
-    # Elkin multi-color sampling + Barenboim finisher. The per-color
-    # acceptance threshold is int(p_i · P) where p_i follows the
-    # reference's FLOAT d_i recurrence (coloring_elkin.h:38-56) — a
-    # 1-ulp libm difference between engines flips a draw, so there is
-    # deliberately no SQL oracle (rows-only). Propriety, the Δ+1 bound
-    # and run-to-run determinism are pytest-verified
-    # (tests/test_coloring.py::test_speculative_variants_proper_and_bounded).
+    # Elkin multi-color sampling. The d_i recurrence is FIXED-POINT
+    # integer arithmetic (coloring._elkin_dnext_fp — the reference's
+    # float recurrence, coloring_elkin.h:38-56, re-derived so every
+    # threshold is an exact int64 any engine reproduces), which lets
+    # the SQL oracle replay the whole schedule + every draw
+    # bit-for-bit. The oracle unrolls pure Elkin rounds only: the
+    # engine measurably colors everything without the Barenboim
+    # finisher at driver SFs (13 rounds sf0.001/0.01, 15 at sf0.1);
+    # raise loudly if either assumption ever breaks instead of
+    # hash-mismatching mysteriously.
     from gms_spark.graph.coloring import elkin
 
-    return elkin(doc_graph(spark, sf_dir)).colors
+    st: dict = {}
+    res = elkin(doc_graph(spark, sf_dir), stats_out=st)
+    if st.get("handed_off") or st.get("elkin_rounds", 0) > COLORING_ELKIN_ROUNDS:
+        raise RuntimeError(
+            f"elkin exceeded the oracle's unrolled depth or handed off: {st} "
+            f"(oracle unrolls {COLORING_ELKIN_ROUNDS} pure-Elkin rounds)"
+        )
+    return res.colors
+
+
+def _elkin_sql(rounds: int, seed: int = 13) -> str:
+    """Unrolled Elkin multi-color sampling rounds, including the
+    fixed-point schedule (mirrors coloring._elkin_params_fp /
+    _elkin_dnext_fp op-for-op: scale 2^16, ln2 = 45426, 4-term exp
+    series, all +,·,//,%,shift on nonnegative int64). Extra rounds are
+    idempotent once everyone is colored. No array lambdas anywhere
+    (DuckDB CTE-inlining row-misalignment bug — see _barenboim_sql)."""
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P, ROUND_SALT
+
+    S, LN2 = 65536, 45426
+    parts = [
+        "p2 AS (SELECT unnest(generate_series(0, 62)) AS e)",
+        "pal AS (SELECT max(degree) + 1 AS pn FROM deg)",
+        "egs AS (SELECT unnest(generate_series(1, (SELECT max(degree) + 1 FROM deg))) AS c)",
+        # ---- fixed-point schedule params: lnn = ilog2(n)·ln2, eps = ln(n)²/Δ
+        # normalized into [S/2, S) by exact shifts, εΔ, and t (= εΔ in the
+        # degenerate regime, else ln n — the reference pow() telescopes away)
+        """eprm0 AS (
+  SELECT (SELECT count(*) FROM verts) AS n, greatest((SELECT max(degree) FROM deg), 1) AS dl
+),
+eprm1 AS (
+  SELECT dl, (SELECT max(e) FROM p2 WHERE (CAST(1 AS BIGINT) << e) <= greatest(n, 1)) * 45426 AS lnn
+  FROM eprm0
+),
+eprm2 AS (SELECT dl, lnn, greatest((lnn * lnn) // (65536 * dl), 1) AS eps0 FROM eprm1),
+eprm3 AS (
+  SELECT dl, lnn, eps0,
+         (SELECT max(e) FROM p2 WHERE (CAST(1 AS BIGINT) << e) <= eps0) AS b
+  FROM eprm2
+),
+eprm4 AS (
+  SELECT dl, lnn,
+         CASE WHEN b >= 16 THEN eps0 >> (b - 15)
+              WHEN b < 15 THEN eps0 << (15 - b)
+              ELSE eps0 END AS eps
+  FROM eprm3
+),
+eprm AS (
+  SELECT dl, lnn, eps * dl AS ed,
+         CASE WHEN eps * dl <= lnn OR eps * dl = 65536 THEN eps * dl ELSE lnn END AS tt
+  FROM eprm4
+)""",
+        "esch0 AS (SELECT dl * 65536 AS d FROM eprm)",
+        "est0 AS (SELECT vertex, CAST(NULL AS BIGINT) AS color FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        p, i = t - 1, t - 1
+        salt = (i * ROUND_SALT + seed * ARITH_B) % ARITH_P
+        pick_salt = (i * ROUND_SALT + (seed + 1) * ARITH_B) % ARITH_P
+        # schedule step: threshold from d_{i}, then d_{i+1} = dnext(d_i)
+        parts.append(
+            f"""eth{t} AS (SELECT ((s.d + p.ed) * {ARITH_P}) // (s.d + 65536) AS th FROM esch{p} s, eprm p),
+escha{t} AS (SELECT s.d, ((s.d + p.ed) * 65536) // (8 * (s.d + 65536)) AS x FROM esch{p} s, eprm p),
+eschb{t} AS (SELECT d, x // {LN2} AS k, x % {LN2} AS r FROM escha{t}),
+eschc{t} AS (
+  SELECT d, k,
+         greatest(65536 - r + (r * r) // {2 * S} - (((r * r) // 65536) * r) // {6 * S}
+                  + (((((r * r) // 65536) * r) // 65536) * r) // {24 * S}, 0) AS er
+  FROM eschb{t}
+),
+esch{t} AS (
+  SELECT CASE WHEN s.d > p.tt
+              THEN greatest((101 * (CASE WHEN s.k >= 63 THEN 0 ELSE s.er >> s.k END) * s.d) // {100 * S}, p.tt)
+              ELSE (p.tt * s.d) // greatest(p.ed, 1) END AS d
+  FROM eschc{t} s, eprm p
+),
+eusd{t} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS vertex, nb.color AS u
+  FROM und e JOIN est{p} nb ON nb.vertex = e.dst
+  WHERE nb.color IS NOT NULL
+    AND e.src IN (SELECT vertex FROM est{p} WHERE color IS NULL)
+),
+ecnd{t} AS (
+  SELECT s.vertex, coalesce(m.m, 0) AS m
+  FROM est{p} s LEFT JOIN (SELECT vertex, count(*) AS m FROM eusd{t} GROUP BY vertex) m
+    ON m.vertex = s.vertex
+  WHERE s.color IS NULL
+),
+esmp{t} AS MATERIALIZED (
+  SELECT cd.vertex, g.c
+  FROM ecnd{t} cd CROSS JOIN pal JOIN egs g
+    ON (((cd.vertex % {ARITH_P}) * {ARITH_A} + g.c * {ARITH_C} + {salt}) % {ARITH_P}) * (pal.pn - cd.m)
+       < (SELECT th FROM eth{t})
+  WHERE NOT EXISTS (SELECT 1 FROM eusd{t} u WHERE u.vertex = cd.vertex AND u.u = g.c)
+),
+eavl{t} AS MATERIALIZED (
+  SELECT s.vertex, s.c FROM esmp{t} s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM und e JOIN esmp{t} s2 ON s2.vertex = e.src AND s2.c = s.c
+    WHERE e.dst = s.vertex AND e.src < e.dst
+  )
+),
+epick{t} AS (
+  SELECT vertex, c AS new_color FROM (
+    SELECT vertex, c,
+           row_number() OVER (PARTITION BY vertex ORDER BY c) - 1 AS idx,
+           count(*) OVER (PARTITION BY vertex) AS cnt
+    FROM eavl{t}
+  ) WHERE idx = ((vertex % {ARITH_P}) * {ARITH_A} + {pick_salt}) % {ARITH_P} % cnt
+),
+est{t} AS MATERIALIZED (
+  SELECT s.vertex, coalesce(s.color, p.new_color) AS color
+  FROM est{p} s LEFT JOIN epick{t} p ON p.vertex = s.vertex
+)"""
+        )
+    return "WITH " + GRAPH_CTES + "," + ",\n".join(parts) + f"\nSELECT vertex, color FROM est{rounds}"
 
 
 def _barenboim_sql(rounds: int, seed: int = 11) -> str:
@@ -1261,6 +1380,7 @@ tri AS MATERIALIZED (
         "coloring_jp_lf": _jp_coloring_sql(rounds=COLORING_JP_ROUNDS, seed=27491095, largest_first=True),
         "coloring_johansson": _johansson_sql(rounds=COLORING_JOHANSSON_ROUNDS),
         "coloring_barenboim": _barenboim_sql(rounds=COLORING_BARENBOIM_ROUNDS),
+        "coloring_elkin": _elkin_sql(rounds=COLORING_ELKIN_ROUNDS),
         "coreness": _coreness_sql(rounds=CORENESS_HINDEX_ROUNDS),
         "mce": _mce_sql(),
         "betweenness": _betweenness_sql(),

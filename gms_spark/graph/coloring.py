@@ -247,6 +247,65 @@ def johansson(edges: DataFrame, seed: int = 5, max_iters: int = 500) -> Coloring
 ARITH_C = 69069
 ROUND_SALT = 2654435761
 
+#: Elkin schedule fixed-point scale + round(ln2 · 2^16). The reference's
+#: d_i recurrence (coloring_elkin.h:38-56) is FLOAT; a 1-ulp libm
+#: difference between engines would flip a sampling draw, so the engine
+#: re-derives the whole schedule in scaled-integer arithmetic — every
+#: op is +,·,floor-div,shift on nonnegative ints, identically
+#: computable by any engine (the DuckDB oracle replays it in SQL).
+ELKIN_S = 1 << 16
+ELKIN_LN2 = 45426
+
+
+def _ilog2(x: int) -> int:
+    return max(int(x), 1).bit_length() - 1
+
+
+def _elkin_expneg_fp(x: int) -> int:
+    """floor-exact fixed-point exp(-x/S)·S: split x = k·ln2 + r with
+    r ∈ [0, ln2), return (S - r + r²/2 - r³/6 + r⁴/24) >> k. The
+    4-term alternating series on r < 0.694 is accurate to ~1e-3 — the
+    schedule only shapes round counts, never propriety. Operation
+    order is pinned; the SQL twin mirrors it term by term."""
+    k, r = divmod(int(x), ELKIN_LN2)
+    if k >= 63:
+        return 0
+    rr = (r * r) // ELKIN_S
+    er = ELKIN_S - r + (r * r) // (2 * ELKIN_S) - (rr * r) // (6 * ELKIN_S) + ((rr * r) // ELKIN_S * r) // (24 * ELKIN_S)
+    return max(er, 0) >> k
+
+
+def _elkin_params_fp(n: int, max_deg: int) -> tuple[int, int]:
+    """(εΔ, t) at scale ELKIN_S, all-integer.
+
+    ln n ≈ floor(log2 n)·ln2; eps = ln(n)²/Δ normalized into [1/2, 1)
+    by exact halvings/doublings (coloring_elkin.h:19-36). The
+    reference's t = (εΔ)^(1-γ) with γ = ln(εΔ/ln n)/ln(εΔ) simplifies
+    ANALYTICALLY to t = ln n (the exponent telescopes: (1-γ)·ln εΔ =
+    ln ln n), and to t = εΔ in the degenerate γ=0 regime — so no pow()
+    is ever needed."""
+    dl = max(int(max_deg), 1)
+    lnn = _ilog2(n) * ELKIN_LN2
+    eps = max((lnn * lnn) // (ELKIN_S * dl), 1)
+    b = _ilog2(eps)
+    if b >= 16:
+        eps >>= b - 15
+    elif b < 15:
+        eps <<= 15 - b
+    ed = eps * dl
+    t = ed if (ed <= lnn or ed == ELKIN_S) else lnn
+    return ed, t
+
+
+def _elkin_dnext_fp(d: int, ed: int, t: int) -> int:
+    """Fixed-point d_{i+1} (coloring_elkin.h:38-45): multiplicative
+    1.01·exp(-(d+εΔ)/(8(d+1)))-decay floored at t while d > t, then the
+    linear t/εΔ scaling below."""
+    alpha = _elkin_expneg_fp(((d + ed) * ELKIN_S) // (8 * (d + ELKIN_S)))
+    if d > t:
+        return max((101 * alpha * d) // (100 * ELKIN_S), t)
+    return (t * d) // max(ed, 1)
+
 
 def _round_salt(i: int, seed: int) -> int:
     """Per-round additive salt (pre-reduced, int64-literal-safe)."""
@@ -432,7 +491,9 @@ def barenboim(
     return ColoringResult(colors, i, n_colors)
 
 
-def elkin(edges: DataFrame, seed: int = 13, max_iters: int = 500) -> ColoringResult:
+def elkin(
+    edges: DataFrame, seed: int = 13, max_iters: int = 500, stats_out: dict | None = None
+) -> ColoringResult:
     """Elkin (Δ+1)-coloring by multi-color palette sampling
     (coloring_elkin.h:10-150 + the Barenboim finisher of the direct
     interface :186-199).
@@ -455,8 +516,6 @@ def elkin(edges: DataFrame, seed: int = 13, max_iters: int = 500) -> ColoringRes
     the colors table should be chunked into range slices per round;
     irrelevant below that.)
     """
-    import math
-
     from gms_spark.graph.build import stage_edges
 
     edges = stage_edges(edges)
@@ -464,35 +523,21 @@ def elkin(edges: DataFrame, seed: int = 13, max_iters: int = 500) -> ColoringRes
     palette_n = max_deg + 1
     n = vertices(edges).count()
 
-    # reference parameter dance (coloring_elkin.h:19-45)
-    eps = (math.log(max(n, 2)) ** 2) / max(max_deg, 1)
-    while eps >= 1:
-        eps /= 2
-    while eps < 0.5:
-        eps *= 2
-    eps_delta = eps * max(max_deg, 1)
-    ln_n = math.log(max(n, 2))
-    if abs(math.log(eps_delta)) < 1e-9 or eps_delta <= ln_n:
-        gamma = 0.0  # degenerate tiny-graph regime; t collapses to εΔ
-    else:
-        gamma = math.log(eps_delta / ln_n) / math.log(eps_delta)
-    t = eps_delta ** (1.0 - gamma)
-
-    def d_next(d: float) -> float:
-        alpha = math.exp(-(d + eps_delta) / (8.0 * (d + 1.0)))
-        if d > t:
-            return max(1.01 * alpha * d, t)
-        return t / eps_delta * d
+    # reference parameter dance (coloring_elkin.h:19-45) in FIXED-POINT
+    # integer arithmetic (see _elkin_params_fp) — engine-agnostic, so
+    # the DuckDB oracle replays the schedule bit-for-bit
+    ed, t_fp = _elkin_params_fp(n, max_deg)
 
     state = truncate_plan(
         vertices(edges).select("vertex", F.lit(None).cast("long").alias("color"))
     )
-    d_i = float(max_deg)
+    d_fp = max_deg * ELKIN_S
     i = 0
     uncolored = n
     while uncolored and i < max_iters:
-        p_pre = (d_i + eps_delta) / (d_i + 1.0)
-        d_i = d_next(d_i)
+        # int(p_pre · P) with p_pre = (d+εΔ)/(d+1), exact in integers
+        thresh_i = ((d_fp + ed) * ARITH_P) // (d_fp + ELKIN_S)
+        d_fp = _elkin_dnext_fp(d_fp, ed, t_fp)
         salt = _round_salt(i, seed)
         unc = state.where(F.col("color").isNull()).select("vertex")
         used = _used_rows(edges, state, only=unc)  # rows, never arrays
@@ -503,7 +548,7 @@ def elkin(edges: DataFrame, seed: int = 13, max_iters: int = 500) -> ColoringRes
         # sample color c iff mix(v,c,i)/P < p_pre/psize  ⇔  mix·psize < p_pre·P,
         # evaluated as a broadcast range join filtered BEFORE aggregation
         psize = F.lit(palette_n).cast("long") - F.col("m")
-        thresh = F.lit(int(p_pre * ARITH_P)).cast("long")
+        thresh = F.lit(thresh_i).cast("long")
         colors_tbl = F.broadcast(
             edges.sparkSession.range(1, palette_n + 1).select(F.col("id").alias("c"))
         )
@@ -551,10 +596,15 @@ def elkin(edges: DataFrame, seed: int = 13, max_iters: int = 500) -> ColoringRes
         if uncolored and newly == 0:
             break  # no progress — hand off (made_progress, :113)
 
+    if stats_out is not None:
+        stats_out["elkin_rounds"] = i
+        stats_out["handed_off"] = bool(uncolored)
     if uncolored:
         # the finisher needs a non-zero budget even when this loop spent
         # max_iters (progress ≥ 1 vertex/round is guaranteed there)
         res = barenboim(edges, seed=seed, max_iters=max(1, max_iters - i), state0=state)
+        if stats_out is not None:
+            stats_out["finisher_rounds"] = res.rounds
         return ColoringResult(res.colors, i + res.rounds, res.n_colors)
     colors = state.select("vertex", "color")
     n_colors = int(colors.agg(F.countDistinct("color")).first()[0])
