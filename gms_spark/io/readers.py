@@ -5,8 +5,10 @@ Covers the reference's reader dispatch (gms/third_party/gapbs/reader.h:220-248):
   .wel   'u v w'                               (reader.h:59-67)
   .gr    DIMACS, 'a u v w' rows, 1-based       (reader.h:70-85)
   .mtx   MatrixMarket coordinate, 1-based,     (reader.h:148-218)
-         honoring the 'symmetric' header
-  .graph METIS adjacency-per-line, 1-based     (reader.h:88-145)
+         honoring the 'symmetric' header and the field type
+         (pattern → unweighted; real/double/integer → weight column)
+  .graph METIS adjacency-per-line, 1-based,    (reader.h:88-145)
+         fmt flag 1 → alternating neighbor/weight pairs
 
 The reference's binary .sg/.wsg memory images are supported for interop
 (read_sg/write_sg, reader.h:252-298 layout, driver-side — one memory
@@ -68,19 +70,42 @@ def _read_gr(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _read_mtx(spark: SparkSession, path: str) -> DataFrame:
+    """MatrixMarket coordinate reader, honoring the header's field and
+    symmetry the way the reference does (reader.h:146-218): field
+    ``pattern`` → no weights; ``real``/``double``/``integer`` → a
+    ``weight: double`` column from the value entry; ``complex`` →
+    error. ``symmetric`` mirrors every edge (weight kept);
+    ``general``/``skew-symmetric`` don't; other symmetries error."""
     from pyspark.sql.window import Window
 
-    # '%' lines are comments; the first non-comment line is 'rows cols nnz'.
-    header = spark.read.text(path).limit(1).collect()[0][0]
-    symmetric = "symmetric" in header.lower()
+    header = spark.read.text(path).limit(1).collect()[0][0].split()
+    if len(header) < 5 or header[0] != "%%MatrixMarket":
+        raise ValueError(f".mtx file did not start with a %%MatrixMarket header: {path}")
+    field, symmetry = header[3].lower(), header[4].lower()
+    if field == "pattern":
+        weighted = False
+    elif field in ("real", "double", "integer"):
+        weighted = True
+    else:
+        raise ValueError(f"unsupported .mtx field type (reader.h:168-177): {field}")
+    if symmetry == "symmetric":
+        symmetric = True
+    elif symmetry in ("general", "skew-symmetric"):
+        symmetric = False
+    else:
+        raise ValueError(f"unsupported .mtx symmetry type (reader.h:178-186): {symmetry}")
+
     df = spark.read.text(path).where(~F.col("value").startswith("%")).where(F.trim("value") != "")
     sizes = df.limit(1).collect()[0][0].split()
     sr, sc = int(sizes[0]) - 1, int(sizes[1]) - 1
     t = _tokens(df["value"])
-    body = df.select(
+    cols = [
         (t.getItem(0).cast("long") - 1).alias("src"),
         (t.getItem(1).cast("long") - 1).alias("dst"),
-    )
+    ]
+    if weighted:
+        cols.append(t.getItem(2).cast("double").alias("weight"))
+    body = df.select(*cols)
     # Remove exactly one occurrence of the sizes row (it parses as an edge).
     w = Window.partitionBy("src", "dst").orderBy(F.lit(1))
     body = (
@@ -89,24 +114,67 @@ def _read_mtx(spark: SparkSession, path: str) -> DataFrame:
         .drop("_rn")
     )
     if symmetric:
-        body = body.unionAll(body.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        rev = [F.col("dst").alias("src"), F.col("src").alias("dst")] + (
+            [F.col("weight")] if weighted else []
+        )
+        body = body.unionAll(body.select(*rev))
     return body
 
 
 def _read_metis(spark: SparkSession, path: str) -> DataFrame:
-    # METIS: line i (1-based, after the header) lists neighbors of vertex i.
+    """METIS adjacency reader (reader.h:88-143): line i (1-based, after
+    the header, '%' comment lines skipped WITHOUT consuming a vertex
+    index) lists the neighbors of vertex i. The header's optional third
+    field is the fmt flag: ``1`` → per-edge weights, lines alternate
+    ``v1 w1 v2 w2 …`` and a ``weight: double`` column is returned;
+    ``0``/``100`` → unweighted (exactly the fmt set the reference
+    accepts — anything else raises, reader.h:104-110).
+
+    Line numbers come from a monotonically_increasing_id ordered by a
+    GLOBAL single-partition window — fine for METIS's config-sized
+    files, but it serializes the scan: do not point this at a
+    many-GB adjacency file (use .el/.wel/parquet for bulk edges)."""
     from pyspark.sql.window import Window
 
-    df = spark.read.text(path).select("value")
-    # Assign stable line numbers via a single ordered pass (METIS files are
-    # small config-like inputs; a global order here is acceptable).
+    first = spark.read.text(path).where(~F.col("value").startswith("%")).limit(1).collect()[0][0]
+    hdr = first.split()
+    fmt = int(hdr[2]) if len(hdr) > 2 else 0
+    if fmt == 1:
+        weighted = True
+    elif fmt in (0, 100):
+        weighted = False
+    else:
+        raise ValueError(f"unsupported METIS fmt flag (reader.h:104-110): {fmt}")
+
+    df = spark.read.text(path).select("value").where(~F.col("value").startswith("%"))
     df = df.withColumn("_ln", F.monotonically_increasing_id())
     df = df.withColumn("_ln", F.row_number().over(Window.orderBy("_ln")) - 1)
     body = df.where(F.col("_ln") > 0).where(F.trim("value") != "")
-    return body.select(
-        (F.col("_ln") - 1).alias("src"),
-        F.explode(_tokens(F.col("value"))).alias("d"),
-    ).select("src", (F.col("d").cast("long") - 1).alias("dst"))
+    toks = _tokens(F.col("value"))
+    if not weighted:
+        return body.select(
+            (F.col("_ln") - 1).alias("src"),
+            F.explode(toks).alias("d"),
+        ).select("src", (F.col("d").cast("long") - 1).alias("dst"))
+    # weighted: tokens alternate neighbor/weight — pair them positionally
+    # (element_at is 1-based). A line's token array is O(degree), the
+    # same as the text row itself, so no new hub hazard is introduced.
+    pairs = F.transform(
+        F.sequence(F.lit(0), (F.size(toks) / 2).cast("int") - 1),
+        lambda j: F.struct(
+            F.element_at(toks, (j * 2 + 1).cast("int")).alias("d"),
+            F.element_at(toks, (j * 2 + 2).cast("int")).alias("w"),
+        ),
+    )
+    return (
+        body.where(F.size(toks) >= 2)
+        .select((F.col("_ln") - 1).alias("src"), F.explode(pairs).alias("p"))
+        .select(
+            "src",
+            (F.col("p.d").cast("long") - 1).alias("dst"),
+            F.col("p.w").cast("double").alias("weight"),
+        )
+    )
 
 
 def read_sg(spark: SparkSession, path: str) -> DataFrame:

@@ -78,3 +78,72 @@ def test_sg_round_trip(spark, tmp_path):
     aw = sorted((r["src"], r["dst"], r["weight"]) for r in w.collect())
     bw = sorted((r["src"], r["dst"], r["weight"]) for r in backw.collect())
     assert aw == bw
+
+
+def wcollect(df):
+    return sorted((r["src"], r["dst"], r["weight"]) for r in df.collect())
+
+
+def test_mtx_weighted_real_symmetric(spark, tmp_path):
+    """field=real → weight column; symmetric mirrors the weight too
+    (reader.h:196-207)."""
+    p = tmp_path / "w.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% a comment\n3 3 2\n1 2 2.5\n2 3 4\n"
+    )
+    assert wcollect(read_edge_list(spark, str(p))) == [
+        (0, 1, 2.5), (1, 0, 2.5), (1, 2, 4.0), (2, 1, 4.0),
+    ]
+
+
+def test_mtx_weighted_integer_general(spark, tmp_path):
+    p = tmp_path / "w.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate integer general\n3 3 2\n1 2 7\n3 1 9\n")
+    assert wcollect(read_edge_list(spark, str(p))) == [(0, 1, 7.0), (2, 0, 9.0)]
+
+
+def test_mtx_rejects_complex_and_bad_symmetry(spark, tmp_path):
+    c = tmp_path / "c.mtx"
+    c.write_text("%%MatrixMarket matrix coordinate complex general\n2 2 1\n1 2 1 0\n")
+    with pytest.raises(ValueError, match="field"):
+        read_edge_list(spark, str(c))
+    h = tmp_path / "h.mtx"
+    h.write_text("%%MatrixMarket matrix coordinate real hermitian\n2 2 1\n1 2 1\n")
+    with pytest.raises(ValueError, match="symmetry"):
+        read_edge_list(spark, str(h))
+
+
+def test_metis_weighted_fmt1(spark, tmp_path):
+    """fmt flag 1 → lines alternate neighbor/weight (reader.h:100-131)."""
+    p = tmp_path / "w.graph"
+    p.write_text("3 3 1\n2 5 3 1\n1 5 3 2\n1 1 2 2\n")
+    assert wcollect(read_edge_list(spark, str(p))) == [
+        (0, 1, 5.0), (0, 2, 1.0), (1, 0, 5.0), (1, 2, 2.0), (2, 0, 1.0), (2, 1, 2.0),
+    ]
+
+
+def test_metis_comments_and_fmt_guard(spark, tmp_path):
+    # '%' lines are skipped without consuming a vertex index (reader.h:118-120)
+    p = tmp_path / "c.graph"
+    p.write_text("% leading comment\n3 2 0\n2 3\n% mid comment\n1\n1\n")
+    assert collect(read_edge_list(spark, str(p))) == [(0, 1), (0, 2), (1, 0), (2, 0)]
+    bad = tmp_path / "bad.graph"
+    bad.write_text("2 1 11\n2\n1\n")
+    with pytest.raises(ValueError, match="fmt"):
+        read_edge_list(spark, str(bad))
+
+
+def test_sssp_straight_off_weighted_mtx(spark, tmp_path):
+    """A weighted benchmark graph loads → SSSP runs with its weights
+    end-to-end (the round-3 'silently loses weights' gap)."""
+    from gms_spark.graph.traversal import sssp
+
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "4 4 4\n1 2 1\n2 3 2\n3 4 1\n1 4 10\n"
+    )
+    edges = read_edge_list(spark, str(p))
+    dist = {r["vertex"]: r["dist"] for r in sssp(edges, source=0).collect()}
+    assert dist == {0: 0.0, 1: 1.0, 2: 3.0, 3: 4.0}
