@@ -87,10 +87,131 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.array([a.mean(), a.std(), a.min(), a.max(), float(width * height)])
 
 
+# ---- pure-numpy container codecs -------------------------------------
+# Real byte-level decoders for two trivial containers (binary PPM P6
+# images, PCM16 WAV audio) so the decode path runs END-TO-END in CI with
+# no external libraries: payload bytes → pixel/sample arrays → features.
+# PIL/ffmpeg remain the codec="real" seam for everything else.
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6) bytes."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("PPM P6 is 3-channel RGB")
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes → (h, w, 3) uint8. Handles '#' comment
+    lines and arbitrary whitespace in the header, maxval 255 only."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 whitespace-separated ints, '#'-comments allowed
+    vals, pos = [], 2
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 PPM supported, got {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples → PCM16 WAV (RIFF) bytes."""
+    import struct
+
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV bytes → (int16 sample array, sample rate). Walks the
+    RIFF chunk list, so extra chunks (LIST, fact) are tolerated."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono WAV supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return data, rate
+
+
+def _numpy_decode(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch → 5 features, from DECODED values (pixels /
+    samples), not raw container bytes."""
+    if payload[:2] == b"P6":
+        px = decode_ppm(payload).astype(np.float64)
+        return np.array([px.mean(), px.std(), px.min(), px.max(), float(px.shape[0] * px.shape[1])])
+    if payload[:4] == b"RIFF":
+        samples, rate = decode_wav(payload)
+        s = samples.astype(np.float64)
+        return np.array([s.mean(), s.std(), s.min(), s.max(), float(len(s))])
+    raise ValueError("unrecognized container (numpy codec handles PPM P6 and PCM16 WAV)")
+
+
+def synth_encoded_media(spark, n: int, seed: int = 3) -> DataFrame:
+    """Deterministic media table whose payloads are REAL container bytes
+    (even media_id → PPM image, odd → WAV audio) so the decode path can
+    be exercised end-to-end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                if i % 2 == 0:
+                    w, h = 8 + i % 24, 8 + (i * 7) % 24
+                    payload = encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+                    row = ("image", payload, w, h, 0)
+                else:
+                    k = 256 + (i * 37) % 512
+                    payload = encode_wav(rng.integers(-3000, 3000, k).astype(np.int16))
+                    row = ("audio", payload, 0, 0, int(k * 1000 / 16000))
+                rows.append(dict(zip(
+                    ["media_id", "media_type", "payload", "width", "height", "duration_ms", "codec"],
+                    (i, *row, "numpy"),
+                )))
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, 4).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Media → fixed-width feature vectors, Arrow-batched.
 
-    ``codec="real"`` is the PIL/ffmpeg seam — intentionally
+    ``codec="numpy"`` really decodes (pure-numpy PPM/WAV byte parsers,
+    magic-byte dispatch); ``codec="fake"`` is the deterministic
+    stand-in; ``codec="real"`` is the PIL/ffmpeg seam — intentionally
     NotImplementedError in this container.
     """
     if codec == "real":
@@ -98,13 +219,17 @@ def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
             "real codecs (PIL/ffmpeg) are not installed in this container; "
             "plug the decoder in here — the surrounding Spark plumbing is final"
         )
+    decode = _numpy_decode if codec == "numpy" else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_decode(p, w, h)
-                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
-            ]
+            if decode is not None:
+                feats = [decode(p) for p in pdf["payload"]]
+            else:
+                feats = [
+                    _fake_decode(p, w, h)
+                    for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),

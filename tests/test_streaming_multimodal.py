@@ -73,3 +73,50 @@ def test_frame_sample_plan(spark):
         got = [r for r in rows if r["media_id"] == v["media_id"]]
         assert len(got) == expected
         assert all(r["frame_ts_ms"] == r["frame_idx"] * 1000 for r in got)
+
+
+def test_ppm_wav_roundtrip():
+    """Pure-numpy container codecs: encode → decode is exact."""
+    import numpy as np
+
+    from gms_spark.multimodal.media import decode_ppm, decode_wav, encode_ppm, encode_wav
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    # header with comments + odd whitespace still parses
+    hand = b"P6\n# a comment\n2 1\n# more\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    assert (decode_ppm(hand) == np.array([[[1, 2, 3], [4, 5, 6]]])).all()
+    s = rng.integers(-3000, 3000, 300).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000 and (out == s).all()
+
+
+def test_numpy_codec_end_to_end(spark):
+    """The decode seam runs END-TO-END: real container bytes → decoded
+    pixel/sample arrays → features, no NotImplementedError anywhere
+    (the round-3 'seam never exercised' gap)."""
+    import numpy as np
+
+    from gms_spark.multimodal.media import decode_media, synth_encoded_media
+
+    media = synth_encoded_media(spark, 20)
+    rows = {r["media_id"]: r for r in decode_media(media, codec="numpy").collect()}
+    assert len(rows) == 20
+    # independently recompute media_id 0 (PPM) and 1 (WAV) features
+    rng = np.random.default_rng(3 * 1_000_003 + 0)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8).astype(np.float64)
+    got = rows[0]["features"]
+    assert abs(got[0] - px.mean()) < 1e-9 and got[4] == 64.0
+    rng = np.random.default_rng(3 * 1_000_003 + 1)
+    s = rng.integers(-3000, 3000, 256 + 37 % 512).astype(np.int16).astype(np.float64)
+    got1 = rows[1]["features"]
+    assert abs(got1[0] - s.mean()) < 1e-9 and got1[4] == float(len(s))
+    # unknown container bytes raise at the dispatch, not silently pass
+    from gms_spark.multimodal.media import _numpy_decode
+
+    try:
+        _numpy_decode(b"\x00\x01garbage")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
