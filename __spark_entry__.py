@@ -59,6 +59,33 @@ def doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_undirected(e)
 
 
+def doc_graph_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric twin of doc_graph: the raw extraction links, deduped,
+    self-loops dropped, NOT symmetrized — and docs ≡ 13 (mod 97) get
+    their out-edges removed, so a deterministic sliver of vertices is
+    dangling (out-degree 0 while still linked-to). Exercises the
+    directed surface: in-degrees ≠ out-degrees, dangling
+    redistribution (pr.cc semantics need out_degree ≥ 1; the directed
+    engine path redistributes instead)."""
+    from gms_spark.graph.build import build_undirected  # noqa: F401  (parity with doc_graph imports)
+
+    docs = _docs(spark, sf_dir)
+    nn = docs.agg(F.count(F.lit(1)).alias("_n"))
+    i, k = F.col("i"), F.col("k")
+    links = docs.select(
+        F.col("doc_id").alias("i"),
+        F.explode(F.sequence(F.lit(1), (F.lit(1) + (F.col("doc_id") * F.col("doc_id")) % 7).cast("int"))).alias("k"),
+    ).crossJoin(F.broadcast(nn))
+    r = (i * A1 + k * A2 + k * k * A3) % F.col("_n")
+    dst = F.when((i + k) % 5 < 2, r % 16).otherwise(r)
+    return (
+        links.select(i.alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .where(F.col("src") % 97 != 13)
+        .distinct()
+    )
+
+
 # SQL twin of doc_graph + degree/vertex helper CTEs (DuckDB dialect).
 GRAPH_CTES = f"""
 nn AS (SELECT count(*) AS n FROM documents),
@@ -80,6 +107,52 @@ und AS MATERIALIZED (
 verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM und),
 deg AS MATERIALIZED (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY src)
 """
+
+
+# SQL twin of doc_graph_directed (+ degree/dangling helper CTEs).
+DIRECTED_CTES = """
+dir_e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e2 WHERE src % 97 <> 13),
+dverts AS MATERIALIZED (
+  SELECT DISTINCT v AS vertex FROM (
+    SELECT src AS v FROM dir_e UNION ALL SELECT dst FROM dir_e
+  )
+),
+ddeg AS MATERIALIZED (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree FROM dir_e GROUP BY src),
+ddang AS MATERIALIZED (
+  SELECT vertex FROM dverts WHERE vertex NOT IN (SELECT vertex FROM ddeg)
+),
+dnv AS (SELECT count(*) AS n FROM dverts)
+"""
+
+
+def _pagerank_directed_sql(iters: int = PR_ITERS, damping: float = 0.85) -> str:
+    """Unrolled directed PageRank with dangling='redistribute': superstep
+    t adds damping·dmass_{t-1}/n uniformly, where dmass is the previous
+    scores' mass on out-degree-0 vertices (engine: pagerank.py
+    redistribute path, observe-fused)."""
+    steps = [
+        "ds0 AS (SELECT vertex, 1.0/dnv.n AS score FROM dverts CROSS JOIN dnv)",
+        "dm0 AS (SELECT CAST((SELECT count(*) FROM ddang) AS DOUBLE) * (1.0/dnv.n) AS m FROM dnv)",
+    ]
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""ds{t} AS MATERIALIZED (
+  SELECT v.vertex,
+         (1.0-{damping})/dnv.n + {damping}*dm{t-1}.m/dnv.n + {damping}*coalesce(x.s, 0.0) AS score
+  FROM dverts v CROSS JOIN dnv CROSS JOIN dm{t-1}
+  LEFT JOIN (
+    SELECT e.dst AS vertex, sum(s.score/d.degree) AS s
+    FROM dir_e e JOIN ds{t-1} s ON s.vertex = e.src JOIN ddeg d ON d.vertex = e.src
+    GROUP BY e.dst
+  ) x ON x.vertex = v.vertex
+),
+dm{t} AS (SELECT coalesce(sum(s.score), 0.0) AS m FROM ds{t} s JOIN ddang g ON g.vertex = s.vertex)"""
+        )
+    return (
+        "WITH " + GRAPH_CTES + "," + DIRECTED_CTES + ","
+        + ",\n".join(steps)
+        + f"\nSELECT vertex, round(score, 8) AS score FROM ds{iters}"
+    )
 
 
 def _pagerank_sql(iters: int = PR_ITERS) -> str:
@@ -546,6 +619,19 @@ def _q_pagerank(spark, sf_dir):
 
     und = doc_graph(spark, sf_dir)
     res = pagerank(und, fixed_iters=PR_ITERS, check_every=PR_ITERS)
+    return res.scores.select("vertex", F.round("score", 8).alias("score"))
+
+
+def _q_pagerank_directed(spark, sf_dir):
+    # Directed surface: asymmetric graph, dangling-mass redistribution
+    # (one observe-fused job per superstep — pagerank.py redistribute
+    # path); in_degrees/in_adjacency are the companion helpers
+    # (build.py, graph.h:265-268 semantics).
+    from gms_spark.graph.pagerank import pagerank
+
+    res = pagerank(
+        doc_graph_directed(spark, sf_dir), fixed_iters=PR_ITERS, dangling="redistribute"
+    )
     return res.scores.select("vertex", F.round("score", 8).alias("score"))
 
 
@@ -1311,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph kernels (north rule) on the deterministic doc graph
         "pagerank": _q_pagerank,
+        "pagerank_directed": _q_pagerank_directed,
         "pagerank_converged": _q_pagerank_converged,
         "components": _q_components,
         "labelprop": _q_labelprop,
@@ -1373,6 +1460,7 @@ tri AS MATERIALIZED (
 )"""
     return {
         "pagerank": _pagerank_sql(PR_ITERS),
+        "pagerank_directed": _pagerank_directed_sql(PR_ITERS),
         "pagerank_converged": _pagerank_sql(PR_CONV_ITERS_SF001),
         "adg_order": _adg_sql(),
         "lp_edge_samples": _lp_sampler_sql(),

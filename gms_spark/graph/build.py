@@ -91,6 +91,21 @@ def degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("degree"))
 
 
+def in_degrees(edges: DataFrame) -> DataFrame:
+    """In-degree per dst — the inverse-graph degree surface a directed
+    CSR carries in the reference (gapbs/graph.h:265-268 in_degree /
+    in_neigh; builder.h:279-297 builds the inverse image). On a
+    symmetrized graph this equals ``degrees``."""
+    return edges.groupBy(F.col("dst").alias("vertex")).agg(F.count("*").alias("in_degree"))
+
+
+def in_adjacency(edges: DataFrame) -> DataFrame:
+    """in_adj(dst, in_neigh: sorted array<long>) — inverse neighborhoods
+    (graph.h:265-268 semantics). Same hub caveat as ``adjacency``:
+    orient by rank before iterating pairs."""
+    return edges.groupBy("dst").agg(F.sort_array(F.collect_set("src")).alias("in_neigh"))
+
+
 def adjacency(edges: DataFrame) -> DataFrame:
     """adj(src, neigh: sorted array<long>) — the SetGraph analog.
 

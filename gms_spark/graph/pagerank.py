@@ -186,6 +186,44 @@ def pagerank(
 
     iters = fixed_iters if fixed_iters is not None else max_iters
 
+    if io is None and n_dangling and dangling == "redistribute":
+        # Directed-graph path: the redistributed mass for superstep i+1
+        # is Σ score_i over dangling vertices — inherently one job per
+        # superstep (extra_i gates the NEXT plan), but BOTH metrics
+        # (L1 delta and next dmass) ride the superstep's own
+        # materialization via observe: one job, not three. dmass_0 is
+        # analytic (uniform init → n_dangling/n).
+        dflag = dang.withColumn("_d", F.lit(1.0))
+        scores = scores0.persist()
+        dmass = n_dangling * (1.0 / n)
+        deltas = []
+        done = 0
+        for it in range(iters):
+            new = one_superstep(scores, damping * dmass / n)
+            obs = Observation()
+            fused = (
+                new.join(scores.select("vertex", F.col("score").alias("_old")), "vertex")
+                .join(dflag, "vertex", "left")
+                .observe(
+                    obs,
+                    F.sum(F.abs(F.col("score") - F.col("_old"))).alias("delta"),
+                    F.sum(F.col("score") * F.coalesce(F.col("_d"), F.lit(0.0))).alias("dmass"),
+                )
+                .select("vertex", "score")
+                .localCheckpoint(eager=True)
+            )
+            delta = float(obs.get["delta"])
+            dmass = float(obs.get["dmass"] or 0.0)
+            deltas.append(delta)
+            scores.unpersist()
+            scores = fused
+            done = it + 1
+            if fixed_iters is None and delta <= tol:
+                break
+        vdeg.unpersist()
+        ew.unpersist()
+        return PageRankResult(scores, done, deltas)
+
     if io is None and check_every > 1 and not (n_dangling and dangling == "redistribute"):
         # Chunked fast path: chain check_every supersteps lazily, one job
         # per chunk (localCheckpoint truncates the plan at chunk ends).

@@ -177,19 +177,23 @@ def _read_metis(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_sg(spark: SparkSession, path: str) -> DataFrame:
+def read_sg(spark: SparkSession, path: str, inverse: bool = False) -> DataFrame:
     """GAPBS binary CSR snapshot (.sg / .wsg) → edges DataFrame.
 
     Layout per gms/third_party/gapbs/reader.h:252-298 / writer.h:39-69:
     [bool directed][int64 num_edges][int64 num_nodes]
     [(n+1)·int64 offsets][num_edges neighbors], where a neighbor is an
     int32 dst (.sg) or an (int32 dst, int32 weight) pair (.wsg); a
-    directed file appends the inverse CSR (ignored here — the forward
-    CSR already carries every edge). Parsed on the driver: a .sg file is
-    a single process memory image, not a splittable format — this reader
-    exists for interop/cross-validation with reference-serialized
-    graphs, while the engine's own snapshot format remains TableIO
-    parquet (readable in parallel, schema'd, atomic).
+    directed file appends the inverse CSR (same offsets+neighbors
+    shape). ``inverse=True`` returns the inverse image — (src=v,
+    dst=u) rows for each stored in-neighbor u of v, the reference's
+    in_neigh surface (graph.h:265-268) — and falls back to the forward
+    CSR for undirected files, where the graph is its own inverse.
+    Parsed on the driver: a .sg file is a single process memory image,
+    not a splittable format — this reader exists for interop/
+    cross-validation with reference-serialized graphs, while the
+    engine's own snapshot format remains TableIO parquet (readable in
+    parallel, schema'd, atomic).
     """
     import numpy as np
     import pandas as pd
@@ -204,29 +208,44 @@ def read_sg(spark: SparkSession, path: str) -> DataFrame:
     off += 8
     num_nodes = int(np.frombuffer(buf, "<i8", 1, off)[0])
     off += 8
-    offsets = np.frombuffer(buf, "<i8", num_nodes + 1, off)
-    off += 8 * (num_nodes + 1)
-    if weighted:
-        nb = np.frombuffer(buf, "<i4", num_edges * 2, off).reshape(-1, 2)
-        dst, wts = nb[:, 0], nb[:, 1]
-    else:
-        dst = np.frombuffer(buf, "<i4", num_edges, off)
-        wts = None
-    src = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(offsets))
+
+    def read_csr(off):
+        offsets = np.frombuffer(buf, "<i8", num_nodes + 1, off)
+        off += 8 * (num_nodes + 1)
+        if weighted:
+            nb = np.frombuffer(buf, "<i4", num_edges * 2, off).reshape(-1, 2)
+            off += 8 * num_edges
+            dst, wts = nb[:, 0], nb[:, 1]
+        else:
+            dst = np.frombuffer(buf, "<i4", num_edges, off)
+            off += 4 * num_edges
+            wts = None
+        src = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(offsets))
+        return src, dst, wts, off
+
+    src, dst, wts, off = read_csr(off)
+    if inverse and directed:
+        # the appended inverse image: offsets index by dst, neighbors are srcs
+        v, u, wts, off = read_csr(off)
+        src, dst = v, u
     pdf = pd.DataFrame({"src": src, "dst": dst.astype(np.int64)})
     if wts is not None:
         pdf["weight"] = wts.astype(np.float64)
     return spark.createDataFrame(pdf)
 
 
-def write_sg(edges: DataFrame, path: str) -> None:
+def write_sg(edges: DataFrame, path: str, directed: bool = False) -> None:
     """Serialize an edge table as a GAPBS .sg/.wsg memory image
-    (writer.h:39-69 layout; 'directed' false — callers pass the
-    symmetrized table, matching the reference's default-symmetrize
-    ingest). Driver-side (the format is one memory image); intended for
-    interop/testing, not as the engine's checkpoint path. Weighted
-    output requires integer-valued weights (.wsg stores int32, the only
-    weight type the format supports — reader.h:266-270)."""
+    (writer.h:39-69 layout). ``directed=False`` (default) matches the
+    reference's default-symmetrize ingest — callers pass the
+    symmetrized table; ``directed=True`` additionally appends the
+    inverse CSR image (builder.h:279-297 — offsets indexed by dst,
+    neighbors = in-srcs), which ``read_sg(..., inverse=True)``
+    round-trips. Driver-side (the format is one memory image);
+    intended for interop/testing, not as the engine's checkpoint path.
+    Weighted output requires integer-valued weights (.wsg stores
+    int32, the only weight type the format supports —
+    reader.h:266-270)."""
     import struct
 
     import numpy as np
@@ -236,22 +255,32 @@ def write_sg(edges: DataFrame, path: str) -> None:
     pdf = edges.select(*cols).orderBy("src", "dst").toPandas()
     src = pdf["src"].to_numpy(np.int64)
     dst = pdf["dst"].to_numpy(np.int64)
+    wts = None
+    if weighted:
+        w = pdf["weight"].to_numpy()
+        if not np.allclose(w, np.round(w)):
+            raise ValueError(".wsg stores int32 weights; non-integer weights given")
+        wts = np.round(w).astype("<i4")
     n = int(max(src.max(), dst.max()) + 1) if len(src) else 0
     m = len(src)
-    counts = np.bincount(src, minlength=n)
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype("<i8")
-    with open(path, "wb") as f:
-        f.write(struct.pack("<?", False))
-        f.write(struct.pack("<q", m))
-        f.write(struct.pack("<q", n))
-        f.write(offsets.tobytes())
+
+    def write_csr(f, key, val, val_w):
+        order = np.lexsort((val, key))
+        key, val = key[order], val[order]
+        counts = np.bincount(key, minlength=n)
+        f.write(np.concatenate([[0], np.cumsum(counts)]).astype("<i8").tobytes())
         if weighted:
-            w = pdf["weight"].to_numpy()
-            if not np.allclose(w, np.round(w)):
-                raise ValueError(".wsg stores int32 weights; non-integer weights given")
             nb = np.empty((m, 2), dtype="<i4")
-            nb[:, 0] = dst
-            nb[:, 1] = np.round(w).astype("<i4")
+            nb[:, 0] = val
+            nb[:, 1] = val_w[order]
             f.write(nb.tobytes())
         else:
-            f.write(dst.astype("<i4").tobytes())
+            f.write(val.astype("<i4").tobytes())
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<?", directed))
+        f.write(struct.pack("<q", m))
+        f.write(struct.pack("<q", n))
+        write_csr(f, src, dst, wts)
+        if directed:
+            write_csr(f, dst, src, wts)

@@ -147,3 +147,32 @@ def test_sssp_straight_off_weighted_mtx(spark, tmp_path):
     edges = read_edge_list(spark, str(p))
     dist = {r["vertex"]: r["dist"] for r in sssp(edges, source=0).collect()}
     assert dist == {0: 0.0, 1: 1.0, 2: 3.0, 3: 4.0}
+
+
+def test_sg_directed_inverse_round_trip(spark, tmp_path):
+    """Directed .sg with the appended inverse CSR (builder.h:279-297):
+    read_sg(inverse=True) must return the transposed edge set; the
+    forward read is unchanged; undirected files are their own inverse."""
+    from gms_spark.io.readers import read_sg, write_sg
+
+    edges = spark.createDataFrame([(0, 1), (0, 2), (2, 1), (3, 0)], "src long, dst long")
+    p = str(tmp_path / "d.sg")
+    write_sg(edges, p, directed=True)
+    fwd = collect(read_sg(spark, p))
+    inv = collect(read_sg(spark, p, inverse=True))
+    assert fwd == [(0, 1), (0, 2), (2, 1), (3, 0)]
+    assert inv == sorted((d, s) for s, d in fwd)
+    u = str(tmp_path / "u.sg")
+    write_sg(edges, u, directed=False)
+    assert collect(read_sg(spark, u, inverse=True)) == fwd
+
+
+def test_in_degree_helpers(spark):
+    """Directed in-neighbor surface (graph.h:265-268 semantics)."""
+    from gms_spark.graph.build import in_adjacency, in_degrees
+
+    edges = spark.createDataFrame([(0, 1), (2, 1), (3, 1), (1, 0)], "src long, dst long")
+    ind = {r["vertex"]: r["in_degree"] for r in in_degrees(edges).collect()}
+    assert ind == {1: 3, 0: 1}
+    adj = {r["dst"]: list(r["in_neigh"]) for r in in_adjacency(edges).collect()}
+    assert adj == {1: [0, 2, 3], 0: [1]}
