@@ -176,6 +176,25 @@ def test_coreness_hindex_rounds_rmat(spark):
     und.unpersist()
 
 
+def test_matula_peel_round_contract_rmat(spark):
+    """The exact peel's SCALE CONTRACT (orderings.degeneracy_order
+    docstring): one superstep per cascade round, round count grows with
+    graph size (measured 96 @ scale 12, 178 @ scale 14) — guard the
+    scale-10 round count so a refactor can't silently add rounds, and
+    check the batched peel-flush reproduces exact core numbers."""
+    from gms_spark.graph.build import build_undirected
+    from gms_spark.graph.generators import rmat_el
+    from gms_spark.graph.orderings import coreness_hindex, degeneracy_order
+
+    und = build_undirected(rmat_el(spark, scale=10, deg=8, seed=3)).persist()
+    res, rounds = degeneracy_order(und, return_rounds=True)
+    assert rounds <= 75, rounds  # measured 62; cascade rounds, not n
+    want = {r["vertex"]: r["core"] for r in coreness_hindex(und).collect()}
+    got = {r["vertex"]: r["core"] for r in res.collect()}
+    assert got == want
+    und.unpersist()
+
+
 def test_mining_degeneracy_order_same_counts(spark, edges_df_factory):
     """order='degeneracy' is a performance knob: identical counts/cliques."""
     from gms_spark.graph.mce import maximal_cliques
