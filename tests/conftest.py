@@ -1,11 +1,19 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# Suite sessions default to 8 cores (the sandbox has 32; 4 left the
+# compute-bound tests needlessly serial while per-job scheduler
+# overhead — the other half of the suite's wall time — is core-count
+# independent). Override with GMS_TEST_CORES for experiments.
+_CORES = int(os.environ.get("GMS_TEST_CORES", "8"))
+_SHUF = int(os.environ.get("GMS_TEST_SHUFFLE", str(max(8, _CORES))))
 
 
 @pytest.fixture(scope="session")
@@ -14,9 +22,12 @@ def spark():
 
     s = get_spark(
         "gms_spark-tests",
-        cores=4,
-        shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "8g", "spark.default.parallelism": "8"},
+        cores=_CORES,
+        shuffle_partitions=_SHUF,
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.default.parallelism": str(_SHUF),
+        },
     )
     yield s
     s.stop()

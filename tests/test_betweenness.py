@@ -63,13 +63,19 @@ def test_bc_sampled_scales(edges_df_factory):
 
 
 def test_waved_sources_identical_to_single_wave(edges_df_factory):
-    """bc is a sum over sources — wave partitioning must not change it."""
+    """bc is a sum over sources — wave partitioning must not change it.
+
+    A fixed 11-source sample keeps the Brandes-dependency cost down; the
+    invariance under test (per-source waves sum to the single-wave total)
+    is per-source, so the sample loses no coverage vs all-sources runs.
+    """
     from .oracles import load_el
 
     el = undirect(load_el("smallRandom1.el"))
     df = edges_df_factory(el)
-    one = {r["vertex"]: r["bc"] for r in betweenness_centrality(df, wave_size=None).collect()}
-    waved = {r["vertex"]: r["bc"] for r in betweenness_centrality(df, wave_size=2).collect()}
+    srcs = sorted({int(u) for u, _ in el})[::5][:11]
+    one = {r["vertex"]: r["bc"] for r in betweenness_centrality(df, sources=srcs, wave_size=None).collect()}
+    waved = {r["vertex"]: r["bc"] for r in betweenness_centrality(df, sources=srcs, wave_size=3).collect()}
     assert set(one) == set(waved)
     for v in one:
         assert abs(one[v] - waved[v]) < 1e-9

@@ -75,51 +75,48 @@ def test_speculative_variants_proper_and_bounded(graph, variant):
     assert a == b
 
 
-def test_barenboim_proper_on_rmat_hub_graph(spark):
-    """Speculative one-shot rounds on a skewed R-MAT graph: the per-round
-    aggregates (used-color set, conflict pairs) are palette-bounded, not
-    hub-degree-bounded, so power-law hubs survive."""
+@pytest.fixture(scope="module")
+def hub_graph(spark):
+    """Shared skewed R-MAT hub graph + its max degree (built once)."""
     from gms_spark.graph.build import build_undirected, degrees
     from gms_spark.graph.generators import rmat_el
 
     und = build_undirected(rmat_el(spark, scale=9, deg=8)).persist()
     max_deg = degrees(und).agg(F.max("degree")).first()[0]
-    res = barenboim(und)
-    assert is_proper(und, res.colors)
-    assert res.n_colors <= max_deg + 1
+    yield und, max_deg
     und.unpersist()
 
 
-def test_jp_proper_on_rmat_hub_graph(spark):
+def test_barenboim_proper_on_rmat_hub_graph(hub_graph):
+    """Speculative one-shot rounds on a skewed R-MAT graph: the per-round
+    aggregates (used-color set, conflict pairs) are palette-bounded, not
+    hub-degree-bounded, so power-law hubs survive."""
+    und, max_deg = hub_graph
+    res = barenboim(und)
+    assert is_proper(und, res.colors)
+    assert res.n_colors <= max_deg + 1
+
+
+def test_jp_proper_on_rmat_hub_graph(hub_graph):
     """Propriety + palette bound on a skewed R-MAT graph (power-law hubs):
     every coloring round is pure row algebra — joins, windows, scalar
     aggregates — so hubs flow through as distributed edge ROWS; no
     per-vertex array ever holds a hub neighborhood."""
-    from gms_spark.graph.build import build_undirected, degrees
-    from gms_spark.graph.generators import rmat_el
-
-    und = build_undirected(rmat_el(spark, scale=9, deg=8)).persist()
-    max_deg = degrees(und).agg(F.max("degree")).first()[0]
+    und, max_deg = hub_graph
     res = jp_random(und)
     assert is_proper(und, res.colors)
     assert res.colors.where(F.col("color").isNull()).count() == 0
     assert res.n_colors <= max_deg + 1
-    und.unpersist()
 
 
-def test_elkin_proper_on_rmat_hub_graph(spark):
+def test_elkin_proper_on_rmat_hub_graph(hub_graph):
     """Elkin's palette scan as a broadcast range join + row anti-joins:
     must color a skewed hub graph without per-row Δ-sized palettes."""
-    from gms_spark.graph.build import build_undirected, degrees
-    from gms_spark.graph.generators import rmat_el
-
-    und = build_undirected(rmat_el(spark, scale=9, deg=8)).persist()
-    max_deg = degrees(und).agg(F.max("degree")).first()[0]
+    und, max_deg = hub_graph
     res = elkin(und)
     assert is_proper(und, res.colors)
     assert res.colors.where(F.col("color").isNull()).count() == 0
     assert res.n_colors <= max_deg + 1
-    und.unpersist()
 
 
 def test_coloring_rounds_build_no_arrays(graph):

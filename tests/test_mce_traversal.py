@@ -131,7 +131,7 @@ def test_mce_root_payload_bounded_on_hub_graph(spark):
     from gms_spark.graph.generators import rmat_el
     from gms_spark.graph.mce import mce_roots
 
-    und = build_undirected(rmat_el(spark, scale=10, deg=8)).persist()
+    und = build_undirected(rmat_el(spark, scale=9, deg=8)).persist()
     roots = mce_roots(und, order="adg")
     stats = (
         roots.select(
@@ -182,7 +182,7 @@ def test_mce_edge_parallel_split_identical_and_bounded(spark):
     from gms_spark.graph.generators import rmat_el
     from gms_spark.graph.mce import _split_edge_tasks, maximal_cliques, mce_roots
 
-    und = build_undirected(rmat_el(spark, scale=8, deg=10, seed=5)).localCheckpoint(eager=True)
+    und = build_undirected(rmat_el(spark, scale=7, deg=10, seed=5)).localCheckpoint(eager=True)
     a = sorted(tuple(r["clique"]) for r in maximal_cliques(und, split_threshold=None).collect())
     b = sorted(tuple(r["clique"]) for r in maximal_cliques(und, split_threshold=8).collect())
     assert a == b and len(a) > 100
@@ -206,7 +206,7 @@ def test_sssp_delta_stepping_matches_bellman_ford(spark):
     from gms_spark.graph.generators import insert_weights, rmat_el
     from gms_spark.graph.traversal import sssp, sssp_delta_stepping
 
-    w = insert_weights(build_undirected(rmat_el(spark, scale=8, deg=8, seed=2))).localCheckpoint(
+    w = insert_weights(build_undirected(rmat_el(spark, scale=7, deg=8, seed=2))).localCheckpoint(
         eager=True
     )
     a = {r["vertex"]: r["dist"] for r in sssp(w, 0).collect()}

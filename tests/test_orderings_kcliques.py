@@ -186,9 +186,9 @@ def test_matula_peel_round_contract_rmat(spark):
     from gms_spark.graph.generators import rmat_el
     from gms_spark.graph.orderings import coreness_hindex, degeneracy_order
 
-    und = build_undirected(rmat_el(spark, scale=10, deg=8, seed=3)).persist()
+    und = build_undirected(rmat_el(spark, scale=9, deg=8, seed=3)).persist()
     res, rounds = degeneracy_order(und, return_rounds=True)
-    assert rounds <= 75, rounds  # measured 62; cascade rounds, not n
+    assert rounds <= 55, rounds  # measured 46 @ scale 9 (62 @ 10, 96 @ 12)
     want = {r["vertex"]: r["core"] for r in coreness_hindex(und).collect()}
     got = {r["vertex"]: r["core"] for r in res.collect()}
     assert got == want

@@ -28,7 +28,7 @@ def test_csr_equals_join_formulation(graph):
 def test_csr_matches_oracle_converged(graph):
     el, df = graph
     want = pagerank_oracle(el, tol=1e-9, max_iters=150)
-    res = pagerank_csr(df, tol=1e-9, max_iters=150)
+    res = pagerank_csr(df, tol=1e-7, max_iters=150)  # oracle at 1e-9; 1e-7 keeps |got-want| ~1e-7 << the 1e-6 gate
     got = {r["vertex"]: r["score"] for r in res.scores.collect()}
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-6)

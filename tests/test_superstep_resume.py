@@ -12,9 +12,24 @@ from gms_spark.runtime.superstep import iterate
 from .oracles import load_el, undirect
 
 
-@pytest.fixture()
-def graph_df(spark, edges_df_factory):
-    return build_undirected(edges_df_factory(load_el("smallRandom1.el"))).persist()
+@pytest.fixture(scope="module")
+def graph_df(spark):
+    el = load_el("smallRandom1.el")
+    df = spark.createDataFrame([(int(u), int(v)) for u, v in el], "src long, dst long")
+    return build_undirected(df).persist()
+
+
+#: resume coverage is about the checkpoint/lineage machinery, not
+#: convergence depth — a looser tol keeps the superstep count (and the
+#: per-superstep parquet commits) small while exercising every path.
+TOL = 1e-3
+
+
+@pytest.fixture(scope="module")
+def clean_scores(graph_df):
+    """One clean (non-durable) pagerank run shared by the comparisons."""
+    res = pagerank(graph_df, tol=TOL, max_iters=50)
+    return res, {r["vertex"]: r["score"] for r in res.scores.collect()}
 
 
 def test_tableio_atomic_snapshots(spark, tmp_path):
@@ -27,11 +42,10 @@ def test_tableio_atomic_snapshots(spark, tmp_path):
     assert io.read(spark, "t", 0).agg({"score": "sum"}).first()[0] == 45.0
 
 
-def test_pagerank_checkpointed_equals_uncheckpointed(spark, graph_df, tmp_path):
+def test_pagerank_checkpointed_equals_uncheckpointed(spark, graph_df, clean_scores, tmp_path):
     io = TableIO(str(tmp_path))
-    a = pagerank(graph_df, tol=1e-4, max_iters=50)
-    b = pagerank(graph_df, tol=1e-4, max_iters=50, io=io, run_id="ckpt1")
-    sa = {r["vertex"]: r["score"] for r in a.scores.collect()}
+    a, sa = clean_scores
+    b = pagerank(graph_df, tol=TOL, max_iters=50, io=io, run_id="ckpt1")
     sb = {r["vertex"]: r["score"] for r in b.scores.collect()}
     assert sa.keys() == sb.keys()
     for v in sa:
@@ -39,19 +53,18 @@ def test_pagerank_checkpointed_equals_uncheckpointed(spark, graph_df, tmp_path):
     assert a.iterations == b.iterations
 
 
-def test_kill_and_resume_identical(spark, graph_df, tmp_path):
+def test_kill_and_resume_identical(spark, graph_df, clean_scores, tmp_path):
     """Kill after superstep k → relaunch resumes and matches a clean run."""
     io = TableIO(str(tmp_path))
-    full = pagerank(graph_df, tol=1e-4, max_iters=50)
+    _, sf = clean_scores
 
     # "killed" run: budget of 3 supersteps, then a fresh process resumes
-    partial = pagerank(graph_df, tol=1e-4, max_iters=3, io=io, run_id="resume1")
+    partial = pagerank(graph_df, tol=TOL, max_iters=3, io=io, run_id="resume1")
     assert partial.iterations == 3
     assert io.last_committed("pagerank_state_resume1") == 2
 
-    resumed = pagerank(graph_df, tol=1e-4, max_iters=50, io=io, run_id="resume1")
+    resumed = pagerank(graph_df, tol=TOL, max_iters=50, io=io, run_id="resume1")
     sr = {r["vertex"]: r["score"] for r in resumed.scores.collect()}
-    sf = {r["vertex"]: r["score"] for r in full.scores.collect()}
     for v in sf:
         assert sr[v] == pytest.approx(sf[v], abs=1e-12)
 
@@ -68,9 +81,9 @@ def test_kill_and_resume_identical(spark, graph_df, tmp_path):
 
 def test_resume_skips_completed_run(spark, graph_df, tmp_path):
     io = TableIO(str(tmp_path))
-    first = pagerank(graph_df, tol=1e-4, max_iters=50, io=io, run_id="done1")
+    first = pagerank(graph_df, tol=TOL, max_iters=50, io=io, run_id="done1")
     n_lineage = len(io.lineage_rows())
-    again = pagerank(graph_df, tol=1e-4, max_iters=50, io=io, run_id="done1")
+    again = pagerank(graph_df, tol=TOL, max_iters=50, io=io, run_id="done1")
     assert len(io.lineage_rows()) == n_lineage  # nothing recomputed
     sa = {r["vertex"]: r["score"] for r in first.scores.collect()}
     sb = {r["vertex"]: r["score"] for r in again.scores.collect()}
