@@ -103,7 +103,7 @@ def iterate(
     kernel: str = "kernel",
     run_id: str | None = None,
     lineage_detail: bool = True,
-    truncate_every: int = 6,
+    truncate_every: int = 3,
 ) -> SuperstepResult:
     """Run ``step(state, i) -> (new_state, delta)`` until delta <= tol.
 
@@ -111,6 +111,15 @@ def iterate(
     row count for CC/LP); the loop stops when ``delta <= tol`` or after
     ``max_iters`` supersteps. ``delta`` may be a float, an ``Observation``
     riding the new state, or a 0-arg callable — see ``resolve_delta``.
+
+    ``truncate_every`` trades the hard-truncation job against chained-plan
+    analysis cost: a persisted-but-uncheckpointed state chain still
+    propagates sizeInBytes estimates through the LOGICAL plan, so
+    Catalyst's per-action analysis cost grows superlinearly with chain
+    depth (measured on an 11-superstep PageRank, 8 cores: per-step
+    materialization 0.8s at depth 1 → 2.1s → 5.8s → 12.3s at depth 5).
+    Measured totals small-graph / scale-14 R-MAT: every=1 → 8.3s/4.4s,
+    every=2 → 5.8/3.3, every=3 → 5.1/3.3 (best), every=6 → 27.0/28.7.
     """
     spark = state.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -180,7 +189,8 @@ def iterate(
             # on the same key need NO extra shuffle) and hard-truncate the
             # plan only every `truncate_every` steps — localCheckpoint
             # erases partitioning info, which would force a reshuffle of
-            # the state side every superstep.
+            # the state side every superstep. Keep the chain SHORT: see
+            # the docstring's measured analysis-cost growth per depth.
             if truncate_every > 0 and (i + 1) % truncate_every == 0:
                 new_state = truncate_plan(new_state)
             else:

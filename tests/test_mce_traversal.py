@@ -212,6 +212,9 @@ def test_sssp_delta_stepping_matches_bellman_ford(spark):
     a = {r["vertex"]: r["dist"] for r in sssp(w, 0).collect()}
     b = {r["vertex"]: r["dist"] for r in sssp_delta_stepping(w, 0).collect()}
     assert a == b and len(a) > 50
-    # a second delta also converges to the same fixpoint
-    c = {r["vertex"]: r["dist"] for r in sssp_delta_stepping(w, 0, delta=2.0).collect()}
+    # a second, non-default bucketing also converges to the same fixpoint
+    # (delta=41 vs the ~128 mean default; a tiny delta like 2.0 is
+    # semantically identical but needs hundreds of bucket rounds —
+    # pure suite-time waste at fixed per-round cost)
+    c = {r["vertex"]: r["dist"] for r in sssp_delta_stepping(w, 0, delta=41.0).collect()}
     assert a == c
