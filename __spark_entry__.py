@@ -1393,6 +1393,58 @@ def _q_top_customers(spark, sf_dir):
     )
 
 
+MEDIA_N = 64  # media_decode: synthesized payload count (even→PPM, odd→WAV)
+MEDIA_SEED = 3
+
+
+def _q_media_decode(spark, sf_dir):
+    """End-to-end multimodal decode, hash-checkable: synthesize REAL
+    container bytes (PPM P6 / PCM16 WAV) whose pixels/samples are the
+    engine LCG mix, push them through the pure-numpy codec seam
+    (media.py magic-byte dispatch — the same path a PIL/ffmpeg codec
+    would plug into), and reduce the DECODED arrays to exact int64
+    stats. The oracle recomputes the same stats analytically from the
+    LCG value contract — so a codec bug (header parse, offset, dtype,
+    chunk walk) breaks the hash, not just a pytest."""
+    from gms_spark.multimodal.media import media_checksums, synth_lcg_media
+
+    return media_checksums(synth_lcg_media(spark, MEDIA_N, seed=MEDIA_SEED))
+
+
+def _media_decode_sql(n: int = MEDIA_N, seed: int = MEDIA_SEED) -> str:
+    """Analytic twin of the decode: value v(i,j) = mix % 256 (image) or
+    mix % 4001 - 2000 (audio) with mix = ((i%P)·A + j·C + seed·B%P) % P —
+    the media.synth_lcg_media contract. Dimensions replay the generator's
+    size formulas; the join against a shared 0..max-1 index table stands
+    in for a lateral range (portable DuckDB)."""
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P
+
+    salt = seed * ARITH_B % ARITH_P
+    return f"""
+WITH m AS (SELECT unnest(generate_series(0, {n - 1})) AS media_id),
+dims AS (
+  SELECT media_id, media_id % 2 = 0 AS is_img,
+         CASE WHEN media_id % 2 = 0
+              THEN (8 + media_id % 24) * (8 + (media_id * 7) % 24) * 3
+              ELSE 256 + (media_id * 37) % 512 END AS nv
+  FROM m),
+js AS (SELECT unnest(generate_series(0, (SELECT max(nv) FROM dims) - 1)) AS j),
+vals AS (
+  SELECT d.media_id,
+         CASE WHEN d.is_img
+              THEN ((d.media_id % {ARITH_P}) * {ARITH_A} + js.j * {ARITH_C} + {salt}) % {ARITH_P} % 256
+              ELSE ((d.media_id % {ARITH_P}) * {ARITH_A} + js.j * {ARITH_C} + {salt}) % {ARITH_P} % 4001 - 2000
+         END AS v
+  FROM dims d JOIN js ON js.j < d.nv)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(v) AS BIGINT) AS value_sum,
+       CAST(min(v) AS BIGINT) AS value_min,
+       CAST(max(v) AS BIGINT) AS value_max
+FROM vals GROUP BY media_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph kernels (north rule) on the deterministic doc graph
@@ -1440,6 +1492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,  # approximate recall — no SQL oracle (exhaustive-probe identity + recall in pytest)
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # approximate recall — no SQL oracle (precision verified in pytest)
+        # multimodal: decode through the real pure-numpy codec seam
+        "media_decode": _q_media_decode,
         # relational / windows
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
@@ -1469,6 +1523,7 @@ tri AS MATERIALIZED (
         "coloring_johansson": _johansson_sql(rounds=COLORING_JOHANSSON_ROUNDS),
         "coloring_barenboim": _barenboim_sql(rounds=COLORING_BARENBOIM_ROUNDS),
         "coloring_elkin": _elkin_sql(rounds=COLORING_ELKIN_ROUNDS),
+        "media_decode": _media_decode_sql(),
         "coreness": _coreness_sql(rounds=CORENESS_HINDEX_ROUNDS),
         "mce": _mce_sql(),
         "betweenness": _betweenness_sql(),

@@ -228,6 +228,7 @@ def run_headline_queries(spark) -> dict:
     qs = entry_mod.queries()
     names = [
         "pagerank",
+        "pagerank_directed",
         "components",
         "labelprop",
         "triangles_total",
@@ -237,6 +238,7 @@ def run_headline_queries(spark) -> dict:
         "coreness",
         "coloring",
         "coloring_barenboim",
+        "coloring_elkin",
         "sssp_delta",
         "minhash_dedup",
         "jaccard_dedup",

@@ -206,6 +206,86 @@ def synth_encoded_media(spark, n: int, seed: int = 3) -> DataFrame:
     return spark.range(0, n, 1, 4).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_lcg_media(spark, n: int, seed: int = 3) -> DataFrame:
+    """Media table whose payloads are real container bytes with
+    ENGINE-REPLAYABLE content: every pixel/sample is the engine-wide LCG
+    mix (the same int64 arithmetic contract as the MinHash coefficients
+    and coloring draws), so a SQL oracle can recompute the decoded
+    values analytically — this is what lets the `media_decode` driver
+    query be hash-checked end-to-end THROUGH the codec seam, not just
+    row-counted. Even media_id → PPM P6 image, odd → PCM16 WAV.
+
+    Value contract (flat index j over the decoded array):
+      image pixel  v = mix(i, j) % 256                  (uint8)
+      audio sample s = mix(i, j) % 4001 - 2000          (int16)
+    with mix(i, j) = ((i % P)·A + j·C + seed·B % P) % P.
+    """
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P
+
+    salt = seed * ARITH_B % ARITH_P
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+
+                def mix(count: int) -> np.ndarray:
+                    j = np.arange(count, dtype=np.int64)
+                    return ((i % ARITH_P) * ARITH_A + j * ARITH_C + salt) % ARITH_P
+
+                if i % 2 == 0:
+                    w, h = 8 + i % 24, 8 + (i * 7) % 24
+                    px = (mix(w * h * 3) % 256).astype(np.uint8).reshape(h, w, 3)
+                    row = ("image", encode_ppm(px), w, h, 0)
+                else:
+                    k = 256 + (i * 37) % 512
+                    s = (mix(k) % 4001 - 2000).astype(np.int16)
+                    row = ("audio", encode_wav(s), 0, 0, int(k * 1000 / 16000))
+                rows.append(dict(zip(
+                    ["media_id", "media_type", "payload", "width", "height", "duration_ms", "codec"],
+                    (i, *row, "numpy"),
+                )))
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, 4).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+CHECKSUM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_values", LongType()),
+        StructField("value_sum", LongType()),
+        StructField("value_min", LongType()),
+        StructField("value_max", LongType()),
+    ]
+)
+
+
+def media_checksums(media: DataFrame) -> DataFrame:
+    """Decode every payload (magic-byte dispatch, pure-numpy codecs) and
+    reduce the DECODED values to exact integer stats — the hash-checkable
+    twin of `decode_media` (float features can't hash-match across
+    engines; int64 sums can). Arrow-batched like every media stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_values": [], "value_sum": [], "value_min": [], "value_max": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload[:2] == b"P6":
+                    vals = decode_ppm(payload).astype(np.int64).ravel()
+                else:
+                    vals = decode_wav(payload)[0].astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["n_values"].append(int(vals.size))
+                out["value_sum"].append(int(vals.sum()))
+                out["value_min"].append(int(vals.min()))
+                out["value_max"].append(int(vals.max()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, CHECKSUM_SCHEMA)
+
+
 def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Media → fixed-width feature vectors, Arrow-batched.
 

@@ -120,3 +120,31 @@ def test_numpy_codec_end_to_end(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_lcg_media_checksums(spark):
+    """synth_lcg_media's value contract: the decoded pixel/sample stats
+    equal the analytic LCG formula — the invariant the media_decode
+    driver oracle hash-checks (entry _media_decode_sql)."""
+    import numpy as np
+
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P
+    from gms_spark.multimodal.media import media_checksums, synth_lcg_media
+
+    seed = 3
+    salt = seed * ARITH_B % ARITH_P
+    rows = {r["media_id"]: r for r in media_checksums(synth_lcg_media(spark, 10, seed=seed)).collect()}
+    assert len(rows) == 10
+    for i in (0, 1, 4, 7):
+        if i % 2 == 0:
+            nv = (8 + i % 24) * (8 + (i * 7) % 24) * 3
+            j = np.arange(nv, dtype=np.int64)
+            vals = ((i % ARITH_P) * ARITH_A + j * ARITH_C + salt) % ARITH_P % 256
+        else:
+            nv = 256 + (i * 37) % 512
+            j = np.arange(nv, dtype=np.int64)
+            vals = ((i % ARITH_P) * ARITH_A + j * ARITH_C + salt) % ARITH_P % 4001 - 2000
+        r = rows[i]
+        assert (r["n_values"], r["value_sum"], r["value_min"], r["value_max"]) == (
+            nv, int(vals.sum()), int(vals.min()), int(vals.max())
+        )
