@@ -259,6 +259,19 @@ def run_headline_queries(spark) -> dict:
         df = qs[name](spark, SF_DIR)
         _materialize(df)
         out[name] = round(time.time() - t0, 3)
+        # Isolation between measurements: drop the py4j refs to the
+        # previous query's frames, then let the ContextCleaner reclaim
+        # its now-unreferenced localCheckpoint blocks (they are weakly
+        # tracked and freed on the next JVM GC — without this, storage
+        # churn from query k's stale blocks bleeds into query k+1's
+        # seconds; measured as a growing persistent-RDD count over the
+        # suite).
+        del df
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     # pages pipeline: synth → extract → edges → 3 PR supersteps
     t0 = time.time()
     from gms_spark.graph.build import build_undirected, edges_from_pages

@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--lp-iters", type=int, default=5)
     p.add_argument("--no-symmetrize", action="store_true")
+    p.add_argument("--hub-salt", type=int, default=None, metavar="K",
+                   help="degree-aware hub splitting for pagerank/components/labelprop: "
+                        "split destinations with in-degree > K into ceil(indeg/K) salt "
+                        "buckets (two-stage gather; see graph/skew.py)")
     p.add_argument("--source", type=int, default=0, help="bfs/bfs_do/sssp source vertex")
     p.add_argument("--k", type=int, default=4, help="clique size for kclique/kclique_star")
     p.add_argument("--bc-samples", type=int, default=0, help="betweenness: 0 = exact, else sample count")
@@ -85,17 +89,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.kernel == "pagerank":
         from gms_spark.graph.pagerank import pagerank
 
-        res = pagerank(graph, tol=args.tol, max_iters=args.iters, io=io, run_id=args.run_id)
+        res = pagerank(graph, tol=args.tol, max_iters=args.iters, io=io, run_id=args.run_id,
+                       hub_salt_threshold=args.hub_salt)
         out, iters = res.scores, res.iterations
     elif args.kernel == "components":
         from gms_spark.graph.components import connected_components
 
-        res = connected_components(graph, max_iters=args.iters, io=io, run_id=args.run_id)
+        res = connected_components(graph, max_iters=args.iters, io=io, run_id=args.run_id,
+                                   hub_salt_threshold=args.hub_salt)
         out, iters = res.components, res.iterations
     elif args.kernel == "labelprop":
         from gms_spark.graph.labelprop import label_propagation
 
-        res = label_propagation(graph, iters=args.lp_iters, io=io, run_id=args.run_id)
+        res = label_propagation(graph, iters=args.lp_iters, io=io, run_id=args.run_id,
+                                hub_salt_threshold=args.hub_salt)
         out, iters = res.labels, res.iterations
     elif args.kernel == "triangles":
         from gms_spark.graph.triangles import triangle_count_total

@@ -44,6 +44,7 @@ def connected_components(
     io: TableIO | None = None,
     run_id: str | None = None,
     check_every: int = 3,
+    hub_salt_threshold: int | None = None,
 ) -> ComponentsResult:
     """See module docstring.
 
@@ -51,21 +52,36 @@ def connected_components(
     min-exchange+compress rounds lazily per Spark job and tests the
     changed-count once per chunk. Correct because labels are monotone
     non-increasing: a chunk with zero changes proves the fixpoint.
+
+    ``hub_salt_threshold=k`` splits destinations with in-degree > k into
+    salt buckets on the static edge side (skew.py): the min-exchange
+    becomes groupBy(dst, salt).min → groupBy(dst).min, so a hub's raw
+    edge fan-in never converges on one reduce key. min is idempotent and
+    associative — the two-stage result is bit-identical.
     """
     from gms_spark.graph.build import stage_edges
 
     # edges are re-joined EVERY round — materialize once (a lazy
     # upstream plan would otherwise re-execute per round)
     edges = stage_edges(edges)
+    salted: list[str] = []
+    if hub_salt_threshold:
+        from gms_spark.graph.skew import with_hub_salt
+
+        # re-stage: the salt join must not re-execute per round
+        edges = stage_edges(with_hub_salt(edges, hub_salt_threshold))
+        salted = ["_salt"]
     verts = vertices(edges)
     labels0 = verts.select("vertex", F.col("vertex").alias("component"))
 
     def one_round(labels: DataFrame) -> DataFrame:
         cand = (
             edges.join(labels.withColumnRenamed("vertex", "src"), "src")
-            .groupBy(F.col("dst").alias("vertex"))
+            .groupBy(F.col("dst").alias("vertex"), *salted)
             .agg(F.min("component").alias("cand"))
         )
+        if salted:
+            cand = cand.groupBy("vertex").agg(F.min("cand").alias("cand"))
         new = labels.join(cand, "vertex", "left").select(
             "vertex", F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias("component")
         )

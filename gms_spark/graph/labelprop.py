@@ -41,18 +41,34 @@ def label_propagation(
     iters: int = 5,
     io: TableIO | None = None,
     run_id: str | None = None,
+    hub_salt_threshold: int | None = None,
 ) -> LabelPropResult:
+    """``hub_salt_threshold=k``: degree-aware split of the vote-count
+    exchange (skew.py) — groupBy(vertex, label, salt).count →
+    groupBy(vertex, label).sum, so a hub's raw edge fan-in spreads over
+    ceil(indeg/k) reduce keys. The downstream argmax operates on the
+    already-collapsed (vertex, label) rows (≤ distinct neighbor labels
+    per vertex), whose surviving partials max_by pre-combines map-side."""
     from gms_spark.graph.build import stage_edges
 
     edges = stage_edges(edges)  # re-joined every round
+    salted: list[str] = []
+    if hub_salt_threshold:
+        from gms_spark.graph.skew import with_hub_salt
+
+        # re-stage: the salt join must not re-execute per round
+        edges = stage_edges(with_hub_salt(edges, hub_salt_threshold))
+        salted = ["_salt"]
     verts = vertices(edges)
     labels0 = verts.select("vertex", F.col("vertex").alias("label"))
 
     def one_round(labels: DataFrame) -> DataFrame:
         nb = edges.join(labels.withColumnRenamed("vertex", "src"), "src").select(
-            F.col("dst").alias("vertex"), "label"
+            F.col("dst").alias("vertex"), *salted, "label"
         )
-        counts = nb.groupBy("vertex", "label").agg(F.count("*").alias("cnt"))
+        counts = nb.groupBy("vertex", "label", *salted).agg(F.count("*").alias("cnt"))
+        if salted:
+            counts = counts.groupBy("vertex", "label").agg(F.sum("cnt").alias("cnt"))
         # argmax by (cnt desc, label asc): max_by over struct(cnt, -label)
         best = counts.groupBy("vertex").agg(
             F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("new_label")

@@ -17,8 +17,11 @@ Scale design:
     hub contributions are pre-summed per partition before the shuffle,
     which is exactly what manual salting would buy. For pathological
     skew AQE skew-join splitting is on (session.py).
-  * optional explicit salting (salt_partitions > 1) demonstrates the
-    manual two-stage aggregate: groupBy(dst, salt) → groupBy(dst).
+  * degree-aware hub splitting (hub_salt_threshold=k): destinations with
+    in-degree > k are split into ceil(indeg/k) salt buckets on the STATIC
+    edge side (skew.py), and the gather becomes the two-stage aggregate
+    groupBy(dst, salt) → groupBy(dst) — only hub keys pay the second
+    stage, and the salt never recomputes across supersteps.
   * plan depth stays O(1) via the superstep runtime (checkpoint or
     localCheckpoint each iteration).
 """
@@ -50,7 +53,7 @@ def pagerank(
     dangling: str = "error",  # "error" | "redistribute" | "ignore"
     io: TableIO | None = None,
     run_id: str | None = None,
-    salt_partitions: int = 1,
+    hub_salt_threshold: int | None = None,
     num_partitions: int | None = None,
     check_every: int = 1,
 ) -> PageRankResult:
@@ -113,11 +116,17 @@ def pagerank(
     # repartition). On a real cluster this table is bucketed by src.
     from pyspark.sql import Window
 
-    ew = (
-        edges.repartition(num_partitions, "src")
-        .select("src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double")).alias("w"))
-        .persist()
+    ew = edges.repartition(num_partitions, "src").select(
+        "src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double")).alias("w")
     )
+    if hub_salt_threshold:
+        # Degree-aware hub split, computed ONCE on the static side: a
+        # broadcast join against the (tiny) hub list adds _salt without
+        # disturbing the src partitioning (skew.py).
+        from gms_spark.graph.skew import with_hub_salt
+
+        ew = with_hub_salt(ew, hub_salt_threshold, key="dst", spread="src", counts_from=edges)
+    ew = ew.persist()
     ew.count()
 
     dang = vdeg.where(F.col("degree") == 0).select("vertex") if n_dangling else None
@@ -133,17 +142,17 @@ def pagerank(
 
     def one_superstep(scores: DataFrame, extra: float = 0.0) -> DataFrame:
         """One pull update as a LAZY transform (no actions)."""
+        salted = [F.col("_salt")] if hub_salt_threshold else []
         contribs = (
             scores.withColumnRenamed("vertex", "src")
             .join(ew, "src")
-            .select(F.col("dst").alias("vertex"), (F.col("score") * F.col("w")).alias("c"))
+            .select(F.col("dst").alias("vertex"), *salted, (F.col("score") * F.col("w")).alias("c"))
         )
-        if salt_partitions > 1:
-            # Explicit degree-aware two-stage aggregate: partial sums per
-            # (vertex, salt) bucket, then final per vertex. Spark's hash
-            # aggregate already partial-combines map-side; this makes the
-            # split visible/forcible for pathological hub keys.
-            contribs = contribs.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_partitions)))
+        if hub_salt_threshold:
+            # Two-stage gather: partial sums per (vertex, salt) bucket —
+            # a hub's fan-in spreads over ceil(indeg/threshold) reduce
+            # keys instead of one — then final per vertex over the ~n
+            # surviving bucket rows. Non-hub keys are all salt 0.
             sums = (
                 contribs.groupBy("vertex", "_salt")
                 .agg(F.sum("c").alias("c"))

@@ -54,8 +54,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    # Only set master when not already provided by spark-submit.
-    if "SPARK_SUBMIT" not in os.environ and not os.environ.get("SPARK_MASTER"):
+    # Only set master when not already provided by spark-submit. A
+    # spark-submit-launched Python driver talks to the already-running
+    # JVM through the py4j gateway (PYSPARK_GATEWAY_PORT is set by
+    # deploy.PythonRunner); calling .master() there would override the
+    # cluster's --master with the sandbox default.
+    if (
+        "PYSPARK_GATEWAY_PORT" not in os.environ
+        and "SPARK_SUBMIT" not in os.environ
+        and not os.environ.get("SPARK_MASTER")
+    ):
         b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

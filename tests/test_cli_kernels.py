@@ -17,6 +17,8 @@ EL = "tests/data/triangles_3.el"
         ["--kernel", "sssp", "--input", EL],
         ["--kernel", "betweenness", "--input", EL, "--bc-samples", "3"],
         ["--kernel", "coreness", "--input", EL],
+        ["--kernel", "components", "--input", EL, "--hub-salt", "2"],
+        ["--kernel", "pagerank", "--input", EL, "--hub-salt", "2", "--iters", "5"],
         ["--kernel", "kclique", "--input", EL, "--k", "3"],
         ["--kernel", "mce", "--input", EL],
         ["--kernel", "coloring", "--input", EL, "--variant", "jp_lf"],
