@@ -68,6 +68,14 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
     Per round, every uncolored vertex whose (prio, id) is the strict
     maximum among its uncolored neighbors takes the smallest color
     unused by its colored neighbors (coloring_jones_v1.h:17-70).
+
+    truncate_every=1 is MEASURED, not an oversight: each round is a
+    join-bearing plan segment (edge join + window + agg + state join),
+    and chaining those between hard truncations compounds Catalyst's
+    inherited size estimates. ABBA-measured on the sf0.1 doc graph
+    (23 rounds, 32 cores): every=1 → 24.6s median, every=3 → 47.9s.
+    PageRank-style single-join chunks prefer every=3 (superstep.py),
+    but do not raise it here.
     """
     # the edge table is re-joined EVERY round — materialize it once
     # instead of re-deriving an arbitrary upstream plan per superstep

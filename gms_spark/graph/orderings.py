@@ -216,6 +216,7 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000, return_round
 
     k = 0
     batch = 0
+    prev_remaining: DataFrame | None = None
     while batch < max_rounds:
         # 0-fill: a vertex whose last edge vanished with earlier peels
         # still needs removal (degree 0 ≤ k always). Cache the round's
@@ -227,12 +228,23 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000, return_round
         from pyspark.sql import Observation
 
         obs = Observation()
-        deg = truncate_plan(
+        # ONE action per cascade round: deg.count() materializes deg AND
+        # (through degrees(remaining)) fills the lazily-persisted cache
+        # of the edge set the PREVIOUS round filtered. persist+count (not
+        # truncate_plan) is enough here — deg's plan is constant-depth
+        # over cached/LogicalRDD leaves, so there is no chain to truncate.
+        deg = (
             alive.join(degrees(remaining), "vertex", "left")
             .fillna(0, ["degree"])
             .observe(obs, F.count(F.lit(1)).alias("n"), F.min("degree").alias("m"))
+            .persist()
         )
+        deg.count()
         held.append(deg)
+        if prev_remaining is not None:
+            # its filtered successor is cached as of the count above
+            prev_remaining.unpersist()
+            prev_remaining = None
         row = obs.get
         if int(row["n"] or 0) == 0:
             break
@@ -243,11 +255,17 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000, return_round
             )
         )
         keep = deg.where(F.col("degree") > k).select("vertex")
-        olds.append(remaining)
         alive = keep  # lazy one-filter plan over the cached deg
-        remaining = truncate_plan(
+        prev_remaining = remaining
+        # lazy localCheckpoint truncates the LOGICAL plan immediately (a
+        # LogicalRDD leaf) with NO job; the persist is filled by the next
+        # round's deg.count(). Estimates stay bounded: both join inputs
+        # are materialized caches with actual-bytes stats by build time.
+        remaining = (
             remaining.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+            .persist()
         )
         batch += 1
         if len(pending) >= PEEL_FLUSH:
@@ -260,7 +278,8 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000, return_round
     res = assign_dense_ids(out, [F.col("batch").asc(), F.col("vertex").asc()]).select(
         "vertex", F.col("id").alias("rank"), F.col("core").cast("long").alias("core")
     ).localCheckpoint(eager=True)
-    for df in olds + peeled_parts + [alive, remaining]:
+    tail = [prev_remaining] if prev_remaining is not None else []
+    for df in olds + peeled_parts + tail + [alive, remaining]:
         df.unpersist()
     if return_rounds:
         return res, batch

@@ -184,12 +184,26 @@ def test_matula_peel_round_contract_rmat(spark):
     check the batched peel-flush reproduces exact core numbers."""
     from gms_spark.graph.build import build_undirected
     from gms_spark.graph.generators import rmat_el
-    from gms_spark.graph.orderings import coreness_hindex, degeneracy_order
+    from gms_spark.graph.orderings import degeneracy_order
 
     und = build_undirected(rmat_el(spark, scale=9, deg=8, seed=3)).persist()
     res, rounds = degeneracy_order(und, return_rounds=True)
     assert rounds <= 55, rounds  # measured 46 @ scale 9 (62 @ 10, 96 @ 12)
-    want = {r["vertex"]: r["core"] for r in coreness_hindex(und).collect()}
+    # exactness vs the sequential peel oracle (cross-ALGORITHM identity
+    # with coreness_hindex is test_coreness_hindex_matches_peel's job —
+    # no need to run a second distributed kernel here)
+    el = np.array([(r["src"], r["dst"]) for r in und.collect()], dtype=np.int64)
+    adj = neighbors(el)
+    deg = {u: len(v) for u, v in adj.items()}
+    alive, k, want = set(adj), 0, {}
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        want[v] = k
+        alive.discard(v)
+        for u in adj[v]:
+            if int(u) in alive:
+                deg[int(u)] -= 1
     got = {r["vertex"]: r["core"] for r in res.collect()}
     assert got == want
     und.unpersist()

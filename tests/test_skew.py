@@ -17,11 +17,11 @@ from pyspark.sql import functions as F
 from gms_spark.graph.skew import hub_split_counts, with_hub_salt
 
 
-def _star_plus_path(spark, spokes: int = 500):
+def _star_plus_path(spark, spokes: int = 500, path_len: int = 40):
     """Hub vertex 0 with `spokes` in-edges plus a low-degree path —
     one pathological key, many normal ones."""
     star = [(i, 0) for i in range(1, spokes + 1)]
-    path = [(i, i + 1) for i in range(1, 40)]
+    path = [(i, i + 1) for i in range(1, path_len)]
     return spark.createDataFrame(star + path, "src long, dst long")
 
 
@@ -81,7 +81,10 @@ def test_components_and_labelprop_salted_bit_identical(spark):
     from gms_spark.graph.components import connected_components
     from gms_spark.graph.labelprop import label_propagation
 
-    und = build_undirected(_star_plus_path(spark, spokes=300)).persist()
+    # short path: the salt-equivalence property is per-round algebra, so
+    # a diameter-12 path exercises it as fully as diameter-40 at a third
+    # of the superstep count
+    und = build_undirected(_star_plus_path(spark, spokes=300, path_len=12)).persist()
 
     plain_cc = connected_components(und).components
     salted_cc = connected_components(und, hub_salt_threshold=64).components

@@ -65,6 +65,9 @@ def test_spark_submit_py_files_launch(tmp_path):
             "--master", "local[2]",
             "--conf", "spark.sql.shuffle.partitions=4",
             "--conf", "spark.ui.enabled=false",
+            # launch test verifies packaging/import/master, not runtime
+            # re-planning — AQE only adds per-stage overhead on 10 rows
+            "--conf", "spark.sql.adaptive.enabled=false",
             "--py-files", str(zip_path),
             str(job),
             "--kernel", "components",
