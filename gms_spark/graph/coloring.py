@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -123,17 +123,14 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
                 .alias("new_color"),
             )
         )
-        # the uncolored count rides the round's own materialization via
-        # df.observe (iterate truncates per round — truncate_plan keeps
-        # stats real; bare checkpoints compound size estimates
-        # exponentially, see runtime/superstep.py): ONE job per round.
-        obs = Observation()
-        new = (
-            state.join(cand, "vertex", "left")
-            .select("vertex", F.coalesce("color", "new_color").alias("color"), "prio")
-            .observe(obs, F.sum(F.when(F.col("color").isNull(), 1).otherwise(0)).alias("delta"))
+        # the uncolored count is a Column delta: iterate's aggregate
+        # action materializes the round's lazy localCheckpoint + cache
+        # AND returns the scalar — ONE job per round (an Observation
+        # through a lazy checkpoint resolves to None; see superstep.py).
+        new = state.join(cand, "vertex", "left").select(
+            "vertex", F.coalesce("color", "new_color").alias("color"), "prio"
         )
-        return new, obs
+        return new, F.sum(F.when(F.col("color").isNull(), 1).otherwise(0))
 
     res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel=kernel, truncate_every=1)
     if res.deltas and res.deltas[-1] > 0:
@@ -230,17 +227,12 @@ def johansson(edges: DataFrame, seed: int = 5, max_iters: int = 500) -> Coloring
             .select("vertex")
             .distinct()
         )
-        # observed uncolored count rides the round's job — see jp_color
-        obs = Observation()
-        new = (
-            picked.join(conflicts.withColumn("_bad", F.lit(1)), "vertex", "left")
-            .select(
-                "vertex",
-                F.coalesce("color", F.when(F.col("_bad").isNull(), F.col("pick"))).alias("color"),
-            )
-            .observe(obs, F.sum(F.when(F.col("color").isNull(), 1).otherwise(0)).alias("delta"))
+        # uncolored count as a Column delta — one job/round, see jp_color
+        new = picked.join(conflicts.withColumn("_bad", F.lit(1)), "vertex", "left").select(
+            "vertex",
+            F.coalesce("color", F.when(F.col("_bad").isNull(), F.col("pick"))).alias("color"),
         )
-        return new, obs
+        return new, F.sum(F.when(F.col("color").isNull(), 1).otherwise(0))
 
     res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel="coloring_johansson", truncate_every=1)
     if res.deltas and res.deltas[-1] > 0:
@@ -394,8 +386,8 @@ def barenboim(
     n = verts.count()
 
     def one_shot(state: DataFrame, active: DataFrame | None, i: int):
-        """One speculative round; returns (new_state, Observation of the
-        uncolored-after and newly-colored counts)."""
+        """One speculative round; returns the lazy new state (the caller
+        materializes it and reads the uncolored count off that job)."""
         salt = _round_salt(i, seed)
         cand = state.where(F.col("color").isNull()).select("vertex")
         if active is not None:
@@ -433,16 +425,9 @@ def barenboim(
             .distinct()
         )
         keep = cand.join(conf, "vertex", "left_anti").select("vertex", F.col("chosen").alias("new_color"))
-        obs = Observation()
-        new = (
-            state.join(keep, "vertex", "left")
-            .select("vertex", F.coalesce("color", "new_color").alias("color"))
-            .observe(
-                obs,
-                F.sum(F.when(F.col("color").isNull(), 1).otherwise(0)).alias("delta"),
-            )
+        return state.join(keep, "vertex", "left").select(
+            "vertex", F.coalesce("color", "new_color").alias("color")
         )
-        return new, obs
 
     def run_phase(state: DataFrame, active: DataFrame | None, rounds: int, i0: int):
         # rounds can legitimately reach 0 when the caller's budget is
@@ -454,9 +439,12 @@ def barenboim(
         uncolored = None
         i = i0
         for _ in range(rounds):
-            new, obs = one_shot(state, active, i)
-            new = truncate_plan(new)
-            uncolored = int(obs.get["delta"] or 0)
+            # one job/round: the aggregate action materializes the lazy
+            # localCheckpoint + cache and returns the uncolored count
+            new = one_shot(state, active, i).localCheckpoint(eager=False).persist()
+            uncolored = int(
+                new.agg(F.sum(F.when(F.col("color").isNull(), 1).otherwise(0)).alias("d")).first()["d"] or 0
+            )
             state.unpersist()
             state = new
             i += 1
@@ -589,15 +577,20 @@ def elkin(
         keep = picked.where(F.col("idx") == pick_mix % F.col("cnt")).select(
             "vertex", F.col("c").alias("new_color")
         )
-        obs = Observation()
+        # one job/round: the aggregate materializes the lazy checkpoint
+        # + cache and returns the uncolored count (see superstep.py on
+        # why an Observation cannot ride a lazy checkpoint)
         new = (
             state.join(keep, "vertex", "left")
             .select("vertex", F.coalesce("color", "new_color").alias("color"))
-            .observe(obs, F.sum(F.when(F.col("color").isNull(), 1).otherwise(0)).alias("delta"))
+            .localCheckpoint(eager=False)
+            .persist()
         )
-        new = truncate_plan(new)
-        newly = uncolored - int(obs.get["delta"] or 0)
-        uncolored = int(obs.get["delta"] or 0)
+        now = int(
+            new.agg(F.sum(F.when(F.col("color").isNull(), 1).otherwise(0)).alias("d")).first()["d"] or 0
+        )
+        newly = uncolored - now
+        uncolored = now
         state.unpersist()
         state = new
         i += 1

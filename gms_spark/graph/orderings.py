@@ -94,58 +94,66 @@ def adg_order(
     boundary_function.h:14-33). Final rank: dense ids over (batch,
     vertex).
 
-    Driver-side loop over DataFrames with plan truncation per round
-    (truncate_plan: checkpoint + persist, NOT bare localCheckpoint —
-    bare checkpoints inherit stats estimates that compound
-    exponentially across peel rounds; see runtime/superstep.py).
+    Driver-side loop over DataFrames, ONE Spark action per peel round:
+    the boundary aggregate materializes the round's degree cache and —
+    through degrees(remaining) — the previous round's lazily-persisted
+    filtered edge set (same cascade discipline as the exact peel below).
+    Per-round peel snapshots stay LAZY filters over the held degree
+    caches; the final dense-ids job materializes them all at once.
     """
-    from pyspark.sql import Observation
-
     olds: list[DataFrame] = []
     remaining = truncate_plan(edges)
     alive = truncate_plan(vertices(edges))
     olds.append(alive)  # later rounds rebind `alive` to lazy filters over the deg cache
+    held: list[DataFrame] = []  # per-round deg caches — parents of the lazy peels
     peeled_parts: list[DataFrame] = []
     batch = 0
-    prev_deg: DataFrame | None = None
+    prev_remaining: DataFrame | None = None
     while batch < max_rounds:
         # degree over ALIVE vertices with 0-fill: a vertex whose last edge
         # disappeared when its neighbors were peeled must itself be peeled
         # this round (degree 0 ≤ every boundary), not silently dropped.
-        # Cache the round's degree table ONCE with the boundary aggregate
-        # riding its materialization (df.observe) — the peel snapshot,
-        # the next alive set and the edge semi-joins all read the cache
-        # instead of re-running the join+groupBy per consumer.
-        obs = Observation()
-        deg = truncate_plan(
+        # The round's ONE action: this aggregate fills the deg cache (the
+        # peel snapshot, the next alive set and the edge semi-joins all
+        # read it) and the lazy checkpoint of the previous round's
+        # filtered edge set. deg is lazily localCheckpointed, NOT merely
+        # persisted — `alive` is a lazy filter over the previous deg, so
+        # a persist-only deg would chain the LOGICAL plan round over
+        # round (see degeneracy_order below for the measured OOM).
+        deg = (
             alive.join(degrees(remaining), "vertex", "left")
             .fillna(0, ["degree"])
-            .observe(obs, F.avg("degree").alias("avg"), F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=False)
+            .persist()
         )
-        if prev_deg is not None:
-            prev_deg.unpersist()
-        prev_deg = deg
-        row = obs.get
+        row = deg.agg(F.avg("degree").alias("avg"), F.count(F.lit(1)).alias("n")).first()
+        held.append(deg)
+        if prev_remaining is not None:
+            # its filtered successor is cached as of the aggregate above
+            prev_remaining.unpersist()
+            prev_remaining = None
         if not row["n"] or row["avg"] is None:
             break
         if boundary == "avg":  # inline fast path (one agg already done)
             b = (1.0 + eps) * float(row["avg"])
         else:
-            b = adg_boundary(deg, eps, boundary)
+            b = adg_boundary(deg, eps, boundary)  # extra aggs on the cache
         # the boundaries all dominate the min remaining degree, so the
         # peel set is non-empty every round (termination guaranteed)
         peel = deg.where(F.col("degree") <= b).select("vertex", F.lit(batch).alias("batch"))
-        peeled_parts.append(peel.localCheckpoint(eager=True))
+        peeled_parts.append(peel)  # lazy over the held deg cache
         keep = deg.where(F.col("degree") > b).select("vertex")
-        olds.append(remaining)
         alive = keep  # lazy one-filter plan over the cached deg
-        remaining = truncate_plan(
+        prev_remaining = remaining
+        # lazy plan truncation (LogicalRDD leaf, no job); the next
+        # round's aggregate fills the persist
+        remaining = (
             remaining.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+            .persist()
         )
         batch += 1
-    if prev_deg is not None:
-        olds.append(prev_deg)
 
     all_batches = peeled_parts[0]
     for p in peeled_parts[1:]:
@@ -153,7 +161,8 @@ def adg_order(
     out = assign_dense_ids(all_batches, [F.col("batch").asc(), F.col("vertex").asc()]).select(
         "vertex", F.col("id").alias("rank"), "batch"
     ).localCheckpoint(eager=True)
-    for df in olds + [alive, remaining]:
+    tail = [prev_remaining] if prev_remaining is not None else []
+    for df in olds + held + tail + [alive, remaining]:
         df.unpersist()
     return out
 
@@ -225,27 +234,31 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000, return_round
         # materialization) and the edge semi-joins all read it instead
         # of re-running the join+groupBy per consumer (measured 49.6 s →
         # 37 s for the sf0.1 coreness query).
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        # ONE action per cascade round: deg.count() materializes deg AND
-        # (through degrees(remaining)) fills the lazily-persisted cache
-        # of the edge set the PREVIOUS round filtered. persist+count (not
-        # truncate_plan) is enough here — deg's plan is constant-depth
-        # over cached/LogicalRDD leaves, so there is no chain to truncate.
+        # ONE action per cascade round: the (count, min) aggregate
+        # materializes deg AND (through degrees(remaining)) fills the
+        # lazily-persisted cache of the edge set the PREVIOUS round
+        # filtered. deg MUST be lazily localCheckpointed, not merely
+        # persisted: `alive` is a lazy filter over the previous deg, so
+        # a persist-only deg chains the LOGICAL plan round over round
+        # (caches truncate physical lineage, never the logical tree) —
+        # measured plan strings grow quadratically (26 KB by round 11),
+        # and every action re-analyzes the chain and posts the string to
+        # the SQL listener, which OOMed the suite's 8 GB driver near
+        # round 40 of the scale-9 contract test. The lazy checkpoint
+        # rewrites deg's plan to a LogicalRDD leaf at CREATION (47-byte
+        # plan every round, measured), no job.
         deg = (
             alive.join(degrees(remaining), "vertex", "left")
             .fillna(0, ["degree"])
-            .observe(obs, F.count(F.lit(1)).alias("n"), F.min("degree").alias("m"))
+            .localCheckpoint(eager=False)
             .persist()
         )
-        deg.count()
+        row = deg.agg(F.count(F.lit(1)).alias("n"), F.min("degree").alias("m")).first()
         held.append(deg)
         if prev_remaining is not None:
-            # its filtered successor is cached as of the count above
+            # its filtered successor is cached as of the aggregate above
             prev_remaining.unpersist()
             prev_remaining = None
-        row = obs.get
         if int(row["n"] or 0) == 0:
             break
         k = max(k, int(row["m"]))  # level jump when the ≤k set is empty
@@ -259,7 +272,7 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000, return_round
         prev_remaining = remaining
         # lazy localCheckpoint truncates the LOGICAL plan immediately (a
         # LogicalRDD leaf) with NO job; the persist is filled by the next
-        # round's deg.count(). Estimates stay bounded: both join inputs
+        # round's deg aggregate. Estimates stay bounded: both join inputs
         # are materialized caches with actual-bytes stats by build time.
         remaining = (
             remaining.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
@@ -301,12 +314,12 @@ def coreness_hindex(
     cascade-depth like the Matula batch peel (degeneracy_order, kept
     for ordering consumers; the two are cross-checked in
     tests/test_orderings_kcliques.py). ``check_every`` rounds chain
-    lazily per Spark job with the chunk's changed-count riding the
-    materialization via df.observe — sound because values are pointwise
-    non-increasing, so chunk-start == chunk-end proves every
-    intermediate round was a no-op. Input must be symmetrized.
+    lazily per Spark job with the chunk's changed-count aggregated by
+    the same action that materializes the chunk — sound because values
+    are pointwise non-increasing, so chunk-start == chunk-end proves
+    every intermediate round was a no-op. Input must be symmetrized.
     """
-    from pyspark.sql import Observation, Window
+    from pyspark.sql import Window
 
     from gms_spark.runtime.superstep import truncate_plan
 
@@ -353,15 +366,23 @@ def coreness_hindex(
         new = c
         for _ in range(k):
             new = one_round(new)
-        obs = Observation()
+        # ONE job per chunk: _old rides the materialized state so the
+        # changed-count is aggregated by the same action that fills the
+        # chunk's lazy localCheckpoint + cache (an Observation through a
+        # lazy checkpoint resolves to None — see runtime/superstep.py)
         fused = (
             new.join(c.select("vertex", F.col("core").alias("_old")), "vertex")
-            .observe(obs, F.sum(F.when(F.col("core") != F.col("_old"), 1).otherwise(0)).alias("delta"))
-            .select("vertex", "core")
+            .select("vertex", "core", "_old")
+            .localCheckpoint(eager=False)
+            .persist()
         )
-        fused = truncate_plan(fused)
+        ch = int(
+            fused.agg(
+                F.sum(F.when(F.col("core") != F.col("_old"), 1).otherwise(0)).alias("d")
+            ).first()["d"]
+            or 0
+        )
         done += k
-        ch = int(obs.get["delta"] or 0)
         c.unpersist()
         c = fused
         if ch == 0:
@@ -369,7 +390,8 @@ def coreness_hindex(
             break
     if not converged:
         raise RuntimeError(f"coreness H-index did not converge within {max_rounds} rounds")
-    return (c, done) if return_rounds else c
+    out = c.select("vertex", "core")
+    return (out, done) if return_rounds else out
 
 
 def coreness(edges: DataFrame, max_rounds: int = 200) -> DataFrame:

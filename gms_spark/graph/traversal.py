@@ -22,7 +22,7 @@ Reference semantics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gms_spark.runtime.superstep import iterate, truncate_plan
@@ -35,7 +35,6 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
     spark = edges.sparkSession
     edges = stage_edges(edges)  # re-joined every level
     dist0 = spark.createDataFrame([(source, 0)], "vertex long, dist long")
-    seen = {"n": 1.0}  # rows in the current dist table (source only at i=0)
 
     def step(dist: DataFrame, i: int):
         frontier = dist.where(F.col("dist") == i)
@@ -45,19 +44,12 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 200) -> DataFrame:
             .distinct()
             .join(dist.select("vertex"), "vertex", "left_anti")
         )
-        # delta = rows added this level, observed by the materialization
-        # job itself (iterate truncates per round): ONE job per level,
-        # no separate counts.
-        obs = Observation()
-        new = dist.unionAll(cand).observe(obs, F.count(F.lit(1)).alias("n"))
-
-        def resolve() -> float:
-            n = float(obs.get["n"] or 0)
-            d = n - seen["n"]
-            seen["n"] = n
-            return d
-
-        return new, resolve
+        # delta = rows added this level = rows at the new depth, a Column
+        # aggregate over the FINAL state: iterate's aggregate action
+        # materializes the level's lazy localCheckpoint + cache and
+        # returns the scalar in the SAME job — one job per level.
+        new = dist.unionAll(cand)
+        return new, F.sum(F.when(F.col("dist") == i + 1, 1).otherwise(0))
 
     res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="bfs", truncate_every=1)
     if res.deltas and res.deltas[-1] > 0:
@@ -84,16 +76,13 @@ def bfs_direction_optimizing(
                   scan), so the wide middle levels of a low-diameter web
                   graph never materialize the frontier×degree blow-up
                   that top-down + distinct would.
-    The per-level frontier stats (count + Σdegree) ride the level's own
-    materialization via df.observe — GAPBS's negative-degree parent
-    encoding trick (bfs.cc:30-37) re-expressed as a fused aggregate, so
-    the switch costs NO extra job. Identical distances to bfs() by
-    construction (same level sets).
+    The per-level frontier stats (count + Σdegree) are aggregated by the
+    SAME action that materializes the level — GAPBS's negative-degree
+    parent encoding trick (bfs.cc:30-37) re-expressed as a fused
+    aggregate, so the switch costs NO extra job. Identical distances to
+    bfs() by construction (same level sets).
     """
-    from pyspark.sql import Observation
-
     from gms_spark.graph.build import degrees, stage_edges, vertices
-    from gms_spark.runtime.superstep import truncate_plan
 
     spark = edges.sparkSession
     edges = stage_edges(edges)
@@ -133,18 +122,21 @@ def bfs_direction_optimizing(
                 .distinct()
                 .join(dist.select("vertex"), "vertex", "left_anti")
             )
-        # truncate_plan, not bare localCheckpoint: bare checkpoints
-        # inherit stats estimates that compound exponentially across
-        # supersteps (see runtime/superstep.py:truncate_plan). The new
-        # frontier's count AND Σdegree are observed by this same job.
-        obs = Observation()
-        nxt = truncate_plan(
+        # ONE job per level: the (count, Σdegree) aggregate action
+        # materializes the new frontier's lazy localCheckpoint + cache
+        # AND — through the left_anti against it — the previous level's
+        # lazily-checkpointed dist union. The degree column rides the
+        # materialized frame so the switch stats come from a direct
+        # aggregate (an Observation through a lazy checkpoint resolves
+        # to None — see runtime/superstep.py). Estimates stay bounded:
+        # every leaf is a materialized cache or LogicalRDD.
+        nxt = (
             cand.select("vertex", F.lit(i + 1).alias("dist"))
             .join(deg, "vertex", "left")
-            .observe(obs, F.count(F.lit(1)).alias("c"), F.sum("degree").alias("sd"))
-            .select("vertex", "dist")
+            .localCheckpoint(eager=False)
+            .persist()
         )
-        got = obs.get
+        got = nxt.agg(F.count(F.lit(1)).alias("c"), F.sum("degree").alias("sd")).first()
         c = int(got["c"] or 0)
         if not bottom_up:
             # GAPBS deducts scouted edges only on TOP-DOWN steps
@@ -157,7 +149,8 @@ def bfs_direction_optimizing(
             olds.append(nxt)
             break
         olds.append(dist)
-        dist = truncate_plan(dist.unionAll(nxt))
+        # lazy: the next level's aggregate action fills this cache
+        dist = dist.unionAll(nxt.select("vertex", "dist")).localCheckpoint(eager=False).persist()
         olds.append(nxt)
         frontier = nxt.select("vertex")
         i += 1
@@ -181,7 +174,8 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
     weighted_edges = stage_edges(weighted_edges)  # per-round joins
     dist0 = spark.createDataFrame([(source, 0.0)], "vertex long, dist double")
 
-    def step(dist: DataFrame, i: int):
+    def step(state: DataFrame, i: int):
+        dist = state.select("vertex", "dist")  # drop the prior round's _old
         relax = (
             weighted_edges.join(dist.withColumnRenamed("vertex", "src"), "src")
             .select(F.col("dst").alias("vertex"), (F.col("dist") + F.col("weight")).alias("nd"))
@@ -189,9 +183,10 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
             .agg(F.min("nd").alias("nd"))
         )
         # the full join already carries (old dist, relaxed nd) side by
-        # side — observe the improved-row count on the SAME plan, so one
+        # side — _old RIDES the materialized state (8 bytes/row) so the
+        # improved-row count is a Column aggregate iterate resolves on
+        # the SAME job that fills the round's checkpoint + cache: one
         # Bellman–Ford round is ONE job (no compare-join, no recount).
-        obs = Observation()
         merged = (
             dist.withColumnRenamed("dist", "_old")
             .join(relax, "vertex", "full")
@@ -200,20 +195,15 @@ def sssp(weighted_edges: DataFrame, source: int, max_iters: int = 200) -> DataFr
                 F.least(F.coalesce("_old", F.lit(float("inf"))), F.coalesce("nd", F.lit(float("inf")))).alias("dist"),
                 "_old",
             )
-            .observe(
-                obs,
-                F.sum(
-                    F.when(F.col("_old").isNull() | (F.col("dist") < F.col("_old")), 1).otherwise(0)
-                ).alias("delta"),
-            )
-            .select("vertex", "dist")
         )
-        return merged, obs
+        return merged, F.sum(
+            F.when(F.col("_old").isNull() | (F.col("dist") < F.col("_old")), 1).otherwise(0)
+        )
 
     res = iterate(dist0, step, max_iters=max_iters, tol=0.0, kernel="sssp", truncate_every=1)
     if res.deltas and res.deltas[-1] > 0:
         raise RuntimeError(f"sssp did not converge within {max_iters} rounds")
-    return res.state
+    return res.state.select("vertex", "dist")
 
 
 def sssp_delta_stepping(
@@ -236,15 +226,14 @@ def sssp_delta_stepping(
     current bucket is the min bucket over dirty vertices (GAPBS's
     next-bin vote), and the staleness guard (sssp.cc:77) is implicit —
     dist only decreases and b is the dirty minimum. Each round is ONE
-    observe-fused job (relax join + min-aggregate + full-join merge,
-    with the dirty count and next bucket riding the materialization).
+    job (relax join + min-aggregate + full-join merge): the dirty count
+    and next-bucket vote are aggregated by the same action that fills
+    the round's lazy localCheckpoint + cache.
 
     ``delta`` defaults to the mean edge weight (GAPBS's CLI default is
     weight-scale-dependent; the mean keeps ~avg-degree relaxations per
     bucket on uniform weights).
     """
-    from pyspark.sql import Observation
-
     from gms_spark.graph.build import stage_edges
     from gms_spark.runtime.superstep import truncate_plan
 
@@ -272,7 +261,6 @@ def sssp_delta_stepping(
         was_frontier = F.coalesce(
             F.col("_dirty") & (F.floor(F.col("_old") / delta) == b), F.lit(False)
         )
-        obs = Observation()
         new = (
             state.select("vertex", F.col("dist").alias("_old"), F.col("dirty").alias("_dirty"))
             .join(relax, "vertex", "full")
@@ -288,17 +276,21 @@ def sssp_delta_stepping(
                 .otherwise(F.coalesce("_dirty", F.lit(False)))
                 .alias("dirty"),
             )
-            .observe(
-                obs,
-                F.sum(F.when(F.col("dirty"), 1).otherwise(0)).alias("n_dirty"),
-                F.min(F.when(F.col("dirty"), F.floor(F.col("dist") / delta))).alias("next_b"),
-            )
+            # ONE job per round: this aggregate action materializes the
+            # lazy localCheckpoint + cache and returns both scalars —
+            # the dirty count and the next-bucket vote live in the FINAL
+            # state's columns, so no Observation (which resolves to None
+            # through a lazy checkpoint — see superstep.py) is needed.
+            .localCheckpoint(eager=False)
+            .persist()
         )
-        new = truncate_plan(new)
+        got = new.agg(
+            F.sum(F.when(F.col("dirty"), 1).otherwise(0)).alias("n_dirty"),
+            F.min(F.when(F.col("dirty"), F.floor(F.col("dist") / delta))).alias("next_b"),
+        ).first()
         state.unpersist()
         state = new
         rounds += 1
-        got = obs.get
         if int(got["n_dirty"] or 0) == 0:
             return state.select("vertex", "dist")
         b = int(got["next_b"])

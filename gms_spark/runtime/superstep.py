@@ -28,7 +28,7 @@ import uuid
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from gms_spark.io.tableio import TableIO
@@ -96,8 +96,19 @@ def resolve_delta(delta) -> float:
                          all fire it — verified empirically), so each
                          superstep is ONE job, no extra driver round trip;
       callable () -> float — for deltas derived from an observation plus
-                         driver state (e.g. BFS's new-minus-old count).
+                         driver state (e.g. BFS's new-minus-old count);
+      Column           — an aggregate over the FINAL state's columns,
+                         resolved by ``iterate`` itself on the
+                         materialized state (never here). The fastest
+                         form for per-round-truncated kernels: the
+                         aggregate action IS the materialization, so a
+                         truncated round is ONE job (an Observation
+                         through a lazy localCheckpoint resolves to
+                         None — the CollectMetrics node is buried in
+                         the checkpointed RDD; measured, do not retry).
     """
+    if isinstance(delta, Column):
+        raise TypeError("Column deltas are resolved by iterate() on the materialized state")
     if isinstance(delta, Observation):
         v = delta.get["delta"]
         return float(v) if v is not None else 0.0  # null agg == empty state
@@ -161,6 +172,13 @@ def iterate(
     while i < max_iters:
         t0 = time.time()
         new_state, delta = step(state, i)
+        if io is not None and isinstance(delta, Column):
+            # No current kernel combines a durable TableIO with a Column
+            # delta (pagerank/components/labelprop all use Observations,
+            # whose metrics the parquet write fires). Wiring it is easy —
+            # aggregate the committed re-read — but dead paths rot:
+            # implement it when a kernel needs it.
+            raise NotImplementedError("Column deltas are not supported with durable io")
         if io is not None:
             # The parquet job fires any Observation riding new_state;
             # resolve inside the meta callback (exactly once) so the
@@ -203,12 +221,24 @@ def iterate(
             # erases partitioning info, which would force a reshuffle of
             # the state side every superstep. Keep the chain SHORT: see
             # the docstring's measured analysis-cost growth per depth.
-            if truncate_every > 0 and (i + 1) % truncate_every == 0:
-                new_state = truncate_plan(new_state)
+            if isinstance(delta, Column):
+                # ONE job per superstep: the aggregate action computes
+                # the plan, fills the cache (and the lazy localCheckpoint
+                # on truncation rounds), and returns the delta scalar —
+                # no separate count pass. Requires the delta to be an
+                # aggregate over the FINAL state's columns.
+                if truncate_every > 0 and (i + 1) % truncate_every == 0:
+                    new_state = new_state.localCheckpoint(eager=False).persist()
+                else:
+                    new_state = new_state.persist()
+                delta = float(new_state.agg(delta.alias("delta")).first()["delta"] or 0)
             else:
-                new_state = new_state.persist()
-                new_state.count()
-            delta = resolve_delta(delta)  # fired by the materialization above
+                if truncate_every > 0 and (i + 1) % truncate_every == 0:
+                    new_state = truncate_plan(new_state)
+                else:
+                    new_state = new_state.persist()
+                    new_state.count()
+                delta = resolve_delta(delta)  # fired by the materialization above
             state.unpersist()
             state = new_state
         deltas.append(float(delta))
