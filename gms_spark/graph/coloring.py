@@ -579,7 +579,18 @@ def elkin(
         )
         # one job/round: the aggregate materializes the lazy checkpoint
         # + cache and returns the uncolored count (see superstep.py on
-        # why an Observation cannot ride a lazy checkpoint)
+        # why an Observation cannot ride a lazy checkpoint).
+        #
+        # Do NOT chain multiple lazy rounds per job here (the H-index
+        # coreness check_every trick): an Elkin round references the
+        # incoming state ~4x (unc, used-colors, the conflict side, and
+        # the final commit join), so a k-deep lazy chain blows the plan
+        # up ~4^k — Spark then rebuilds the same broadcast exchanges
+        # once per duplicated subtree. Measured with k=3 at sf0.01: the
+        # driver emitted ~1,000 broadcast-build jobs PER MINUTE and a
+        # single chunk ran longer than the whole unchunked query.
+        # check_every-style chunking is only safe for rounds whose plan
+        # is linear in the state (coreness qualifies; this does not).
         new = (
             state.join(keep, "vertex", "left")
             .select("vertex", F.coalesce("color", "new_color").alias("color"))
