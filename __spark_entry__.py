@@ -259,7 +259,11 @@ FROM ver v JOIN sz sa ON sa.doc_id = v.a JOIN sz sb ON sb.doc_id = v.b
 WHERE round(v.cnt * 1.0 / (sa.n + sb.n - v.cnt), 6) >= {threshold}"""
 
 
-def _minhash_sql(threshold: float = 0.3) -> str:
+def _minhash_pair_ctes(threshold: float) -> str:
+    """CTE chain ending at ``pairs(a, b, jaccard)`` — the verified
+    MinHash-LSH near-dup pairs. Shared by the pairwise oracle
+    (_minhash_sql) and the cluster-resolution oracle
+    (_dedup_clusters_sql)."""
     from gms_spark.text.dedup import _minhash_coeffs
 
     coeffs = _minhash_coeffs(MINHASH_H, MINHASH_SEED)
@@ -275,7 +279,7 @@ def _minhash_sql(threshold: float = 0.3) -> str:
             acc = f"(({acc})*131071 + {c}) % {P31}"
         band_rows.append(f"SELECT doc_id, {bi} AS band, {acc} AS bucket FROM sig")
     bands = "\nUNION ALL\n".join(band_rows)
-    return f"""WITH {_SHINGLE_CTES},
+    return f"""{_SHINGLE_CTES},
 dict AS MATERIALIZED (
   SELECT s AS sh_str, CAST(dense_rank() OVER (ORDER BY s) AS BIGINT) AS shingle
   FROM (SELECT DISTINCT s FROM sh)
@@ -291,10 +295,34 @@ ver AS (
   SELECT c.a, c.b, count(*) AS cnt
   FROM cand c JOIN shid xa ON xa.doc_id = c.a JOIN shid xb ON xb.doc_id = c.b AND xb.shingle = xa.shingle
   GROUP BY c.a, c.b
-)
-SELECT v.a, v.b, round(v.cnt * 1.0 / (sa.n + sb.n - v.cnt), 6) AS jaccard
-FROM ver v JOIN sz sa ON sa.doc_id = v.a JOIN sz sb ON sb.doc_id = v.b
-WHERE round(v.cnt * 1.0 / (sa.n + sb.n - v.cnt), 6) >= {threshold}"""
+),
+pairs AS (
+  SELECT v.a, v.b, round(v.cnt * 1.0 / (sa.n + sb.n - v.cnt), 6) AS jaccard
+  FROM ver v JOIN sz sa ON sa.doc_id = v.a JOIN sz sb ON sb.doc_id = v.b
+  WHERE round(v.cnt * 1.0 / (sa.n + sb.n - v.cnt), 6) >= {threshold}
+)"""
+
+
+def _minhash_sql(threshold: float = 0.3) -> str:
+    return f"""WITH {_minhash_pair_ctes(threshold)}
+SELECT a, b, jaccard FROM pairs"""
+
+
+def _dedup_clusters_sql(threshold: float = 0.3) -> str:
+    """Cluster resolution over the MinHash pair graph: recursive
+    min-label closure == the engine's hash-min components fixpoint
+    (both converge to label[v] = min doc_id reachable from v)."""
+    return f"""WITH RECURSIVE {_minhash_pair_ctes(threshold)},
+sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(doc_id, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.doc_id
+),
+comp AS (SELECT doc_id, min(lab) AS cluster FROM reach GROUP BY doc_id),
+csz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY cluster)
+SELECT c.doc_id, c.cluster, c.doc_id = c.cluster AS keep, s.cluster_size
+FROM comp c JOIN csz s ON s.cluster = c.cluster"""
 
 
 _COS_SQL = """
@@ -1200,6 +1228,17 @@ def _q_minhash_dedup(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # Corpus-level dedup: LSH pairs -> hash-min components -> canonical
+    # min-doc_id representative. The oracle computes the same fixpoint
+    # with a recursive min-label closure over the pair graph.
+    from gms_spark.text.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _docs(spark, sf_dir), threshold=0.3, num_hashes=MINHASH_H, band_rows=MINHASH_R, seed=MINHASH_SEED
+    )
+
+
 def _q_simhash_dedup(spark, sf_dir):
     from gms_spark.text.dedup import simhash_near_dup
 
@@ -1480,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "jaccard_dedup": _q_jaccard_dedup,
         "minhash_dedup": _q_minhash_dedup,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_dedup": _q_simhash_dedup,
         # text analysis
         "token_stats": _q_token_stats,
@@ -1662,6 +1702,7 @@ SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
 FROM p JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
 WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.3""",
         "minhash_dedup": _minhash_sql(0.3),
+        "dedup_clusters": _dedup_clusters_sql(0.3),
         "simhash_dedup": _simhash_sql(0.3),
         "token_stats": """
 WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents)

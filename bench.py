@@ -241,6 +241,7 @@ def run_headline_queries(spark) -> dict:
         "coloring_elkin",
         "sssp_delta",
         "minhash_dedup",
+        "dedup_clusters",
         "jaccard_dedup",
         "exact_dedup",
         "token_stats",

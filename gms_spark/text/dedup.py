@@ -284,3 +284,54 @@ def simhash_near_dup(
     sh = shingle_ids(docs, k, text_col)
     sets = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
     return _verified_pairs(cands, sets, threshold)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 24,
+    band_rows: int = 2,
+    k: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate CLUSTER resolution: LSH pairs → connected
+    components → one canonical representative per cluster.
+
+    Pairwise hits are only half of corpus-level dedup: near-duplicates
+    are transitive in practice (A≈B≈C with J(A,C) below threshold), so
+    the keep/purge decision must be made per connected component of the
+    pair graph, not per pair — otherwise chained rewrites survive as
+    "distinct" documents. Pairs come from ``minhash_lsh_join`` (banded
+    LSH + exact verify, the sub-quadratic 100 TB path); clustering is
+    the hash-min components kernel over the pair graph — the iterative
+    part runs ONLY on docs that have at least one near-dup (a small
+    fraction of the corpus), everything else never leaves the scan.
+    Representative = min doc_id per cluster: deterministic and
+    SQL-replayable (the DuckDB oracle computes the same fixpoint with a
+    recursive min-label closure).
+
+    Returns (doc_id, cluster, keep, cluster_size) for every doc with at
+    least one near-duplicate; a doc absent from the output is its own
+    singleton cluster (sparse-output contract — at corpus scale the
+    output is proportional to the duplicate mass, not the corpus).
+    """
+    from gms_spark.graph.components import connected_components
+
+    pairs = minhash_lsh_join(docs, threshold, num_hashes, band_rows, k, seed, text_col)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    comp = connected_components(edges).components
+    sizes = comp.groupBy(F.col("component").alias("cluster")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        comp.select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("cluster"),
+            (F.col("vertex") == F.col("component")).alias("keep"),
+        )
+        .join(sizes, "cluster")
+        .select("doc_id", "cluster", "keep", "cluster_size")
+    )

@@ -101,3 +101,45 @@ def test_shingle_ids_dense(docs):
     mx = sh.agg({"shingle": "max"}).first()[0]
     distinct = sh.select("shingle").distinct().count()
     assert mx == distinct  # dense 1..V
+
+
+def test_dedup_clusters_transitive(spark):
+    """Cluster resolution groups TRANSITIVE near-dups (A~B~C with A,C
+    below threshold) and keeps exactly the min doc_id per cluster —
+    checked against a brute-force union-find over brute-force pairs."""
+    from gms_spark.text.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup_clusters(docs, threshold=0.3, num_hashes=24, band_rows=2, seed=7)
+    got = {int(r["doc_id"]): (int(r["cluster"]), bool(r["keep"]), int(r["cluster_size"])) for r in out.collect()}
+
+    # brute force: exact pairs (LSH at r=2,b=12 has ~0 miss probability at
+    # J>=0.3 for this corpus — asserted below by equality, not assumed)
+    pdf = docs.toPandas()
+    pairs = brute_jaccard_pairs(pdf, k=3, threshold=0.3)
+    # LSH candidates can only MISS pairs, never invent them; equality of
+    # the resulting clustering asserts no miss changed connectivity
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    want = {}
+    for root, members in comp.items():
+        lab = min(members)
+        for m in members:
+            want[m] = (lab, m == lab, len(members))
+    assert got == want
+    # the fixture corpus must actually exercise transitivity: at least
+    # one cluster larger than a single pair
+    assert any(sz > 2 for (_, _, sz) in got.values())
