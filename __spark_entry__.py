@@ -1450,6 +1450,73 @@ def _q_media_decode(spark, sf_dir):
     return media_checksums(synth_lcg_media(spark, MEDIA_N, seed=MEDIA_SEED))
 
 
+MEDIA_RESIZE_W = 5  # media_resize: nearest-neighbor target dims — prime-ish,
+MEDIA_RESIZE_H = 7  # never divides any source dim, so the floor map is exercised
+
+
+def _q_media_resize(spark, sf_dir):
+    """Multimodal resize, hash-checkable end-to-end: LCG-valued PPM/WAV
+    payloads → nearest-neighbor resize of every image to (5, 7) —
+    re-encoded through the real PPM codec — → decoded int64 stats.
+    Nearest-neighbor is pure integer index selection
+    (src_j = ((y·h)//out_h · w + (x·w)//out_w)·3 + c), so the oracle
+    replays the exact resize map analytically; audio rows pass through
+    the stage untouched and must match the plain decode stats."""
+    from gms_spark.multimodal.media import media_checksums, resize_media, synth_lcg_media
+
+    media = synth_lcg_media(spark, MEDIA_N, seed=MEDIA_SEED)
+    return media_checksums(resize_media(media, MEDIA_RESIZE_W, MEDIA_RESIZE_H))
+
+
+def _media_resize_sql(
+    n: int = MEDIA_N,
+    seed: int = MEDIA_SEED,
+    out_w: int = MEDIA_RESIZE_W,
+    out_h: int = MEDIA_RESIZE_H,
+) -> str:
+    """Analytic twin of resize_media ∘ media_checksums: for images the
+    output pixel at flat index q maps back to source flat index
+    j = ((y·h)//out_h · w + (x·w)//out_w)·3 + c with y = q//(out_w·3),
+    x = (q%(out_w·3))//3, c = q%3, and the source value is the LCG mix —
+    same contract as the media_decode oracle. Audio rows are untouched
+    by the stage, so their branch is identical to the decode oracle."""
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P
+
+    salt = seed * ARITH_B % ARITH_P
+    ow3 = out_w * 3
+    return f"""
+WITH m AS (SELECT unnest(generate_series(0, {n - 1})) AS media_id),
+img AS (
+  SELECT media_id, 8 + media_id % 24 AS w, 8 + (media_id * 7) % 24 AS h
+  FROM m WHERE media_id % 2 = 0),
+q AS (SELECT unnest(generate_series(0, {out_h * ow3 - 1})) AS q),
+img_j AS (
+  SELECT i.media_id,
+         ((((q.q // {ow3}) * i.h) // {out_h}) * i.w
+          + (((q.q % {ow3}) // 3) * i.w) // {out_w}) * 3 + (q.q % 3) AS j
+  FROM img i CROSS JOIN q),
+img_vals AS (
+  SELECT media_id,
+         ((media_id % {ARITH_P}) * {ARITH_A} + j * {ARITH_C} + {salt}) % {ARITH_P} % 256 AS v
+  FROM img_j),
+aud AS (
+  SELECT media_id, 256 + (media_id * 37) % 512 AS nv
+  FROM m WHERE media_id % 2 = 1),
+js AS (SELECT unnest(generate_series(0, (SELECT max(nv) FROM aud) - 1)) AS j),
+aud_vals AS (
+  SELECT a.media_id,
+         ((a.media_id % {ARITH_P}) * {ARITH_A} + js.j * {ARITH_C} + {salt}) % {ARITH_P} % 4001 - 2000 AS v
+  FROM aud a JOIN js ON js.j < a.nv),
+vals AS (SELECT * FROM img_vals UNION ALL SELECT * FROM aud_vals)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(v) AS BIGINT) AS value_sum,
+       CAST(min(v) AS BIGINT) AS value_min,
+       CAST(max(v) AS BIGINT) AS value_max
+FROM vals GROUP BY media_id
+"""
+
+
 def _media_decode_sql(n: int = MEDIA_N, seed: int = MEDIA_SEED) -> str:
     """Analytic twin of the decode: value v(i,j) = mix % 256 (image) or
     mix % 4001 - 2000 (audio) with mix = ((i%P)·A + j·C + seed·B%P) % P —
@@ -1534,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # approximate recall — no SQL oracle (precision verified in pytest)
         # multimodal: decode through the real pure-numpy codec seam
         "media_decode": _q_media_decode,
+        "media_resize": _q_media_resize,
         # relational / windows
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
@@ -1564,6 +1632,7 @@ tri AS MATERIALIZED (
         "coloring_barenboim": _barenboim_sql(rounds=COLORING_BARENBOIM_ROUNDS),
         "coloring_elkin": _elkin_sql(rounds=COLORING_ELKIN_ROUNDS),
         "media_decode": _media_decode_sql(),
+        "media_resize": _media_resize_sql(),
         "coreness": _coreness_sql(rounds=CORENESS_HINDEX_ROUNDS),
         "mce": _mce_sql(),
         "betweenness": _betweenness_sql(),

@@ -321,6 +321,45 @@ def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     return media.select("media_id", "payload", "width", "height").mapInPandas(run, FEATURES_SCHEMA)
 
 
+def resize_ppm(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor (floor-map) resize of an (h, w, 3) uint8 image:
+    ``out[y, x] = in[(y*h)//out_h, (x*w)//out_w]``. Pure index selection —
+    deterministic and integer-exact, so a SQL oracle can replay the map."""
+    h, w, _ = pixels.shape
+    sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return pixels[sy][:, sx]
+
+
+def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize every image payload to (out_w, out_h), nearest-neighbor;
+    non-image rows pass through untouched. Output keeps MEDIA_SCHEMA
+    (payload re-encoded PPM, width/height updated), so the stage composes
+    with `media_checksums` / `decode_media` like any other media table.
+    Arrow-batched mapInPandas: bytes cross JVM→Python once per batch, and
+    the stage is embarrassingly parallel — no shuffle, partitioning
+    inherited from the input scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, widths, heights = [], [], []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if bytes(payload[:2]) == b"P6":
+                    px = resize_ppm(decode_ppm(bytes(payload)), out_w, out_h)
+                    payloads.append(encode_ppm(px))
+                    widths.append(out_w)
+                    heights.append(out_h)
+                else:
+                    payloads.append(payload)
+                    widths.append(w)
+                    heights.append(h)
+            pdf["payload"], pdf["width"], pdf["height"] = payloads, widths, heights
+            yield pdf
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video → (media_id, frame_idx, frame_ts_ms) sampling plan, JVM-side.
 

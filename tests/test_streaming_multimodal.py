@@ -148,3 +148,57 @@ def test_lcg_media_checksums(spark):
         assert (r["n_values"], r["value_sum"], r["value_min"], r["value_max"]) == (
             nv, int(vals.sum()), int(vals.min()), int(vals.max())
         )
+
+
+def test_resize_ppm_nearest():
+    """Floor-map nearest-neighbor: out[y, x] == in[(y*h)//oh, (x*w)//ow],
+    checked element-by-element against the definition, down- and up-sampling."""
+    import numpy as np
+
+    from gms_spark.multimodal.media import resize_ppm
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    for ow, oh in ((5, 7), (20, 3), (13, 9), (1, 1)):
+        out = resize_ppm(px, ow, oh)
+        assert out.shape == (oh, ow, 3)
+        for y in range(oh):
+            for x in range(ow):
+                assert (out[y, x] == px[(y * 9) // oh, (x * 13) // ow]).all()
+
+
+def test_resize_media_end_to_end(spark):
+    """resize_media: images decode → resize → re-encode through the real
+    PPM codec (checked vs a local numpy replay of the same payloads);
+    audio rows pass through byte-identical — their checksums equal the
+    un-resized decode's. This is the invariant the media_resize driver
+    oracle hash-checks (entry _media_resize_sql)."""
+    import numpy as np
+
+    from gms_spark.multimodal.media import (
+        decode_ppm,
+        media_checksums,
+        resize_media,
+        resize_ppm,
+        synth_lcg_media,
+    )
+
+    n, ow, oh = 12, 5, 7
+    media = synth_lcg_media(spark, n, seed=3)
+    plain = {r["media_id"]: r for r in media_checksums(media).collect()}
+    resized = {
+        r["media_id"]: r
+        for r in media_checksums(resize_media(media, ow, oh)).collect()
+    }
+    assert set(resized) == set(range(n))
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for i in range(n):
+        if i % 2 == 0:
+            want = resize_ppm(decode_ppm(payloads[i]), ow, oh).astype(np.int64).ravel()
+            r = resized[i]
+            assert (r["n_values"], r["value_sum"], r["value_min"], r["value_max"]) == (
+                want.size, int(want.sum()), int(want.min()), int(want.max())
+            )
+            assert r["n_values"] == ow * oh * 3
+        else:
+            assert resized[i] == plain[i]
