@@ -1239,6 +1239,60 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+URL_GROUP = 3  # url_dedup: consecutive doc_ids per target page
+URL_SEED = 11
+
+
+def _q_url_dedup(spark, sf_dir):
+    """Canonical-url dedup, the crawl→graph pipeline stage: deterministic
+    messy spellings (case-folded scheme/host, :443 ports, utm_* params,
+    unsorted query params, trailing slashes, fragments — chosen by the
+    engine LCG mix per doc) → canonicalize_url → exact groupBy. The
+    oracle replays the mess decisions analytically and builds each
+    CANONICAL form directly, so any canonicalizer defect (port left in,
+    params unsorted, fragment kept, path case folded) breaks the hash."""
+    from gms_spark.urls import messy_urls, url_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return url_dedup(messy_urls(docs, group=URL_GROUP, seed=URL_SEED), url_col="raw_url")
+
+
+def _url_dedup_sql(group: int = URL_GROUP, seed: int = URL_SEED) -> str:
+    """Analytic twin of messy_urls ∘ canonicalize_url ∘ groupBy: the mess
+    is parameterized by h(k) = ((doc_id%P)·A + k·C + seed·B%P) % P
+    (urls.py contract); the canonical spelling depends only on the
+    target page t = doc_id div group and the two non-utm param bits
+    (h(7): a=1, h(5): b=2, sorted a-before-b)."""
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P
+
+    salt = seed * ARITH_B % ARITH_P
+
+    def h(k: int) -> str:
+        return f"((doc_id % {ARITH_P}) * {ARITH_A} + {k * ARITH_C + salt}) % {ARITH_P}"
+
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+v AS (
+  SELECT doc_id,
+         doc_id // {group} AS t,
+         ({h(5)}) % 2 = 0 AS has_b,
+         ({h(7)}) % 2 = 0 AS has_a
+  FROM d),
+c AS (
+  SELECT doc_id,
+         'https://site' || CAST(t % 10 AS VARCHAR) || '.example/p/' || CAST(t AS VARCHAR)
+         || CASE WHEN has_a AND has_b THEN '?a=1&b=2'
+                 WHEN has_a THEN '?a=1'
+                 WHEN has_b THEN '?b=2'
+                 ELSE '' END AS canonical
+  FROM v)
+SELECT canonical,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc
+FROM c GROUP BY canonical
+"""
+
+
 def _q_simhash_dedup(spark, sf_dir):
     from gms_spark.text.dedup import simhash_near_dup
 
@@ -1587,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dedup": _q_jaccard_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "dedup_clusters": _q_dedup_clusters,
+        "url_dedup": _q_url_dedup,
         "simhash_dedup": _q_simhash_dedup,
         # text analysis
         "token_stats": _q_token_stats,
@@ -1772,6 +1827,7 @@ FROM p JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
 WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.3""",
         "minhash_dedup": _minhash_sql(0.3),
         "dedup_clusters": _dedup_clusters_sql(0.3),
+        "url_dedup": _url_dedup_sql(),
         "simhash_dedup": _simhash_sql(0.3),
         "token_stats": """
 WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents)

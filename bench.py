@@ -244,6 +244,7 @@ def run_headline_queries(spark) -> dict:
         "dedup_clusters",
         "jaccard_dedup",
         "exact_dedup",
+        "url_dedup",
         "token_stats",
         "language_id",
         "ann_topk",
