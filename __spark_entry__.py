@@ -1293,6 +1293,49 @@ FROM c GROUP BY canonical
 """
 
 
+def _q_host_graph(spark, sf_dir):
+    """Page-graph → host-graph rollup (the Common-Crawl host-level
+    webgraph product): every doc's host comes from its CANONICALIZED
+    messy url (chaining the url tier), the directed link graph's
+    endpoints are relabeled through that mapping, and parallel edges
+    aggregate to weights with intra-host self-loops dropped. The oracle
+    replays the host formula analytically over the same edge CTEs."""
+    from gms_spark.graph.build import collapse_vertices
+    from gms_spark.urls import canonicalize_url, host_of, messy_urls
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    hosts = messy_urls(docs, group=URL_GROUP, seed=URL_SEED).select(
+        F.col("doc_id").alias("vertex"),
+        host_of(canonicalize_url("raw_url")).alias("group"),
+    )
+    rolled = collapse_vertices(doc_graph_directed(spark, sf_dir), hosts)
+    return rolled.select(
+        F.col("src").alias("src_host"), F.col("dst").alias("dst_host"), "weight"
+    )
+
+
+def _host_graph_sql(group: int = URL_GROUP) -> str:
+    return (
+        "WITH "
+        + GRAPH_CTES
+        + ","
+        + DIRECTED_CTES
+        + f""",
+hosts AS (
+  SELECT doc_id AS vertex,
+         'site' || CAST(((doc_id // {group}) % 10) AS VARCHAR) || '.example' AS grp
+  FROM documents)
+SELECT hs.grp AS src_host, hd.grp AS dst_host,
+       CAST(count(*) AS BIGINT) AS weight
+FROM dir_e e
+JOIN hosts hs ON hs.vertex = e.src
+JOIN hosts hd ON hd.vertex = e.dst
+WHERE hs.grp <> hd.grp
+GROUP BY hs.grp, hd.grp
+"""
+    )
+
+
 def _q_simhash_dedup(spark, sf_dir):
     from gms_spark.text.dedup import simhash_near_dup
 
@@ -1642,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "url_dedup": _q_url_dedup,
+        "host_graph": _q_host_graph,
         "simhash_dedup": _q_simhash_dedup,
         # text analysis
         "token_stats": _q_token_stats,
@@ -1828,6 +1872,7 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.3""",
         "minhash_dedup": _minhash_sql(0.3),
         "dedup_clusters": _dedup_clusters_sql(0.3),
         "url_dedup": _url_dedup_sql(),
+        "host_graph": _host_graph_sql(),
         "simhash_dedup": _simhash_sql(0.3),
         "token_stats": """
 WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents)

@@ -245,6 +245,7 @@ def run_headline_queries(spark) -> dict:
         "jaccard_dedup",
         "exact_dedup",
         "url_dedup",
+        "host_graph",
         "token_stats",
         "language_id",
         "ann_topk",

@@ -232,3 +232,31 @@ def edges_from_pages(pages: DataFrame, keep_external: bool = False) -> tuple[Dat
         .select("src", "dst")
     )
     return url_dict, e
+
+
+def collapse_vertices(
+    edges: DataFrame, mapping: DataFrame, drop_self_loops: bool = True
+) -> DataFrame:
+    """Graph coarsening: relabel both endpoints through ``mapping``
+    (vertex, group) and aggregate parallel edges into integer weights —
+    the page-graph → host-graph rollup of a web crawl, and the generic
+    contraction step of any multilevel graph pipeline.
+
+    Returns (src, dst, weight: long) over group ids, self-loops
+    (intra-group edges) dropped unless asked for. Scale shape: two
+    equi-joins against the mapping (|V| rows — broadcast when small,
+    shuffled-hash otherwise; AQE decides) followed by ONE partial-agg
+    exchange on the collapsed keys: a hub host's parallel-edge fan-in
+    is pre-combined map-side like every count in the engine.
+    """
+    m_src = mapping.select(F.col("vertex").alias("src"), F.col("group").alias("_gsrc"))
+    m_dst = mapping.select(F.col("vertex").alias("dst"), F.col("group").alias("_gdst"))
+    out = (
+        edges.join(m_src, "src")
+        .join(m_dst, "dst")
+        .groupBy(F.col("_gsrc").alias("src"), F.col("_gdst").alias("dst"))
+        .agg(F.count("*").alias("weight"))
+    )
+    if drop_self_loops:
+        out = out.where(F.col("src") != F.col("dst"))
+    return out

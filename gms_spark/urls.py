@@ -79,6 +79,13 @@ def url_dedup(df: DataFrame, url_col: str = "url", key_col: str = "doc_id") -> D
     )
 
 
+def host_of(url: Column | str) -> Column:
+    """Hostname of an (ideally canonical) url — port/path/query dropped.
+    The grouping key for page-graph → host-graph rollups."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)", 1)
+
+
 # ---- deterministic messy-url synthesis (oracle-replayable) ------------
 
 MESSY_PARAMS = ["b=2", "utm_source=x", "a=1", "utm_campaign=y"]  # raw order

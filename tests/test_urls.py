@@ -3,7 +3,7 @@
 import pytest
 
 from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P
-from gms_spark.urls import canonicalize_url, messy_urls, url_dedup
+from gms_spark.urls import canonicalize_url, host_of, messy_urls, url_dedup
 
 CASES = [
     # case-fold scheme+host only; default port; utm drop; param sort; fragment
@@ -91,3 +91,34 @@ def test_messy_urls_canonicalize_end_to_end(spark):
         cnt, keep = want.get(c, (0, i))
         want[c] = (cnt + 1, min(keep, i))
     assert dd == want
+
+
+def test_collapse_vertices_and_host_of(spark):
+    """Graph coarsening vs a hand-computed rollup; host_of on canonicals."""
+    import pyspark.sql.functions as F
+
+    from gms_spark.graph.build import collapse_vertices
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (1, 0)], "src long, dst long"
+    )
+    # groups: {0,1} -> a, {2,3} -> b
+    mapping = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")], "vertex long, group string"
+    )
+    got = {(r["src"], r["dst"]): r["weight"] for r in collapse_vertices(edges, mapping).collect()}
+    # a->b: (0,2),(1,2) ; b->a: (3,0) ; self loops (0,1),(1,0),(2,3) dropped
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+    withloops = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in collapse_vertices(edges, mapping, drop_self_loops=False).collect()
+    }
+    assert withloops == {("a", "b"): 2, ("b", "a"): 1, ("a", "a"): 2, ("b", "b"): 1}
+
+    df = spark.createDataFrame(
+        [("https://site3.example/p/9?a=1",), ("http://h.x:8080/q",)], "url string"
+    )
+    assert [r["h"] for r in df.select(host_of("url").alias("h")).collect()] == [
+        "site3.example",
+        "h.x",
+    ]
