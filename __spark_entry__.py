@@ -1301,14 +1301,10 @@ def _q_host_graph(spark, sf_dir):
     aggregate to weights with intra-host self-loops dropped. The oracle
     replays the host formula analytically over the same edge CTEs."""
     from gms_spark.graph.build import collapse_vertices
-    from gms_spark.urls import canonicalize_url, host_of, messy_urls
 
-    docs = _docs(spark, sf_dir).select("doc_id")
-    hosts = messy_urls(docs, group=URL_GROUP, seed=URL_SEED).select(
-        F.col("doc_id").alias("vertex"),
-        host_of(canonicalize_url("raw_url")).alias("group"),
+    rolled = collapse_vertices(
+        doc_graph_directed(spark, sf_dir), _hosts_mapping(spark, sf_dir)
     )
-    rolled = collapse_vertices(doc_graph_directed(spark, sf_dir), hosts)
     return rolled.select(
         F.col("src").alias("src_host"), F.col("dst").alias("dst_host"), "weight"
     )
@@ -1333,6 +1329,77 @@ JOIN hosts hd ON hd.vertex = e.dst
 WHERE hs.grp <> hd.grp
 GROUP BY hs.grp, hd.grp
 """
+    )
+
+
+def _hosts_mapping(spark, sf_dir):
+    from gms_spark.urls import canonicalize_url, host_of, messy_urls
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return messy_urls(docs, group=URL_GROUP, seed=URL_SEED).select(
+        F.col("doc_id").alias("vertex"),
+        host_of(canonicalize_url("raw_url")).alias("group"),
+    )
+
+
+def _q_pagerank_hosts(spark, sf_dir):
+    """WEIGHTED PageRank on the host-level webgraph: the rolled-up edge
+    weights (parallel page links per host pair) drive the transition
+    probabilities — weight/out-strength instead of 1/out-degree
+    (pagerank.py weighted path). Host ids stay strings end-to-end: the
+    kernel is key-type-agnostic. dangling='error' is deliberate — on
+    this graph every host must keep cross-host out-links, and a
+    violation should fail loudly rather than silently diverge from the
+    oracle."""
+    from gms_spark.graph.build import collapse_vertices
+    from gms_spark.graph.pagerank import pagerank
+
+    hg = collapse_vertices(doc_graph_directed(spark, sf_dir), _hosts_mapping(spark, sf_dir))
+    res = pagerank(hg, fixed_iters=PR_ITERS)
+    return res.scores.select(
+        F.col("vertex").alias("host"), F.round("score", 8).alias("score")
+    )
+
+
+def _pagerank_hosts_sql(iters: int = PR_ITERS, group: int = URL_GROUP) -> str:
+    steps = ["s0 AS (SELECT vertex, 1.0/hn.n AS score FROM hverts CROSS JOIN hn)"]
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT v.vertex, (1.0-0.85)/hn.n + 0.85*coalesce(x.s, 0.0) AS score
+  FROM hverts v CROSS JOIN hn
+  LEFT JOIN (
+    SELECT e.dst AS vertex, sum(s.score * e.weight / w.wout) AS s
+    FROM hg e JOIN s{t-1} s ON s.vertex = e.src JOIN hw w ON w.vertex = e.src
+    GROUP BY e.dst
+  ) x ON x.vertex = v.vertex
+)"""
+        )
+    return (
+        "WITH "
+        + GRAPH_CTES
+        + ","
+        + DIRECTED_CTES
+        + f""",
+hosts AS (
+  SELECT doc_id AS vertex,
+         'site' || CAST(((doc_id // {group}) % 10) AS VARCHAR) || '.example' AS grp
+  FROM documents),
+hg AS MATERIALIZED (
+  SELECT hs.grp AS src, hd.grp AS dst, CAST(count(*) AS DOUBLE) AS weight
+  FROM dir_e e
+  JOIN hosts hs ON hs.vertex = e.src
+  JOIN hosts hd ON hd.vertex = e.dst
+  WHERE hs.grp <> hd.grp
+  GROUP BY hs.grp, hd.grp),
+hverts AS MATERIALIZED (
+  SELECT DISTINCT v AS vertex FROM (
+    SELECT src AS v FROM hg UNION ALL SELECT dst FROM hg)),
+hw AS MATERIALIZED (SELECT src AS vertex, sum(weight) AS wout FROM hg GROUP BY src),
+hn AS (SELECT count(*) AS n FROM hverts),
+"""
+        + ",\n".join(steps)
+        + f"\nSELECT vertex AS host, round(score, 8) AS score FROM s{iters}"
     )
 
 
@@ -1686,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "url_dedup": _q_url_dedup,
         "host_graph": _q_host_graph,
+        "pagerank_hosts": _q_pagerank_hosts,
         "simhash_dedup": _q_simhash_dedup,
         # text analysis
         "token_stats": _q_token_stats,
@@ -1873,6 +1941,7 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.3""",
         "dedup_clusters": _dedup_clusters_sql(0.3),
         "url_dedup": _url_dedup_sql(),
         "host_graph": _host_graph_sql(),
+        "pagerank_hosts": _pagerank_hosts_sql(),
         "simhash_dedup": _simhash_sql(0.3),
         "token_stats": """
 WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents)

@@ -246,6 +246,7 @@ def run_headline_queries(spark) -> dict:
         "exact_dedup",
         "url_dedup",
         "host_graph",
+        "pagerank_hosts",
         "token_stats",
         "language_id",
         "ann_topk",

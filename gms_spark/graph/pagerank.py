@@ -116,9 +116,16 @@ def pagerank(
     # repartition). On a real cluster this table is bucketed by src.
     from pyspark.sql import Window
 
-    ew = edges.repartition(num_partitions, "src").select(
-        "src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double")).alias("w")
-    )
+    # Weighted edges: a `weight` column makes the transition probability
+    # weight/out-strength instead of 1/out-degree (host-graph PageRank:
+    # a host that sends 90% of its links to one neighbor should hand it
+    # 90% of its mass). Same single-shuffle shape — the SUM window rides
+    # the identical src repartition the COUNT window does.
+    if "weight" in edges.columns:
+        w = (F.col("weight") / F.sum("weight").over(Window.partitionBy("src"))).cast("double")
+    else:
+        w = F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double")
+    ew = edges.repartition(num_partitions, "src").select("src", "dst", w.alias("w"))
     if hub_salt_threshold:
         # Degree-aware hub split, computed ONCE on the static side: a
         # broadcast join against the (tiny) hub list adds _salt without

@@ -98,3 +98,33 @@ def test_known_invariants(edges_df_factory):
     res = pagerank(edges_df_factory(micro), tol=1e-9)
     got = sorted(r["score"] for r in res.scores.collect())
     assert got == pytest.approx([0.5, 0.5], abs=1e-6)
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """A `weight` column switches the transition to weight/out-strength
+    (pagerank.py weighted path) — checked against a dense numpy power
+    iteration on a hand graph with string vertex keys (the host-graph
+    shape: pagerank_hosts driver query)."""
+    hosts = ["a", "b", "c"]
+    w = {("a", "b"): 3.0, ("a", "c"): 1.0, ("b", "a"): 1.0, ("c", "a"): 1.0, ("c", "b"): 1.0}
+    df = spark.createDataFrame(
+        [(s, d, x) for (s, d), x in w.items()], "src string, dst string, weight double"
+    )
+    iters, damping = 12, 0.85
+    idx = {h: i for i, h in enumerate(hosts)}
+    P = np.zeros((3, 3))
+    for (s, d), x in w.items():
+        P[idx[d], idx[s]] = x
+    P /= P.sum(axis=0, keepdims=True)
+    score = np.full(3, 1 / 3)
+    for _ in range(iters):
+        score = (1 - damping) / 3 + damping * (P @ score)
+    res = pagerank(df, fixed_iters=iters)
+    got = {r["vertex"]: r["score"] for r in res.scores.collect()}
+    assert got.keys() == set(hosts)
+    for h in hosts:
+        assert got[h] == pytest.approx(score[idx[h]], abs=1e-12), h
+    # and without the weight column the same edge LIST is plain pagerank
+    res_u = pagerank(df.select("src", "dst"), fixed_iters=iters)
+    got_u = {r["vertex"]: r["score"] for r in res_u.scores.collect()}
+    assert got_u["b"] != pytest.approx(got["b"], abs=1e-9)
