@@ -15,6 +15,8 @@ reference's per-kernel benchmark binaries (gms/benchmarks/*.cc):
 
   north rule     pagerank | components | labelprop | triangles |
                  triangles_vertex
+                 (pagerank --weighted uses the input's weight column:
+                 weight/out-strength transition probabilities)
   traversal      bfs | bfs_do | sssp | sssp_delta | betweenness
                  (--source, --bc-samples;
                  sssp uses the input's weight column or deterministic
@@ -55,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="degree-aware hub splitting for pagerank/components/labelprop: "
                         "split destinations with in-degree > K into ceil(indeg/K) salt "
                         "buckets (two-stage gather; see graph/skew.py)")
+    p.add_argument("--weighted", action="store_true",
+                   help="pagerank: use the input's weight column (weight/out-strength "
+                        "transition probabilities); symmetrization keeps the min weight "
+                        "per undirected edge, like sssp")
     p.add_argument("--source", type=int, default=0, help="bfs/bfs_do/sssp source vertex")
     p.add_argument("--k", type=int, default=4, help="clique size for kclique/kclique_star")
     p.add_argument("--bc-samples", type=int, default=0, help="betweenness: 0 = exact, else sample count")
@@ -86,10 +92,24 @@ def main(argv: list[str] | None = None) -> int:
     io = TableIO(args.checkpoint) if args.checkpoint else None
     t0 = time.time()
 
+    def weighted_graph():
+        """Weighted edge table, symmetrized keeping the min weight per
+        undirected edge (the .wel convention the sssp path uses)."""
+        w = edges.select("src", "dst", "weight")
+        if args.no_symmetrize:
+            return w
+        return (
+            w.unionAll(w.select(w.dst.alias("src"), w.src.alias("dst"), "weight"))
+            .groupBy("src", "dst").min("weight").withColumnRenamed("min(weight)", "weight")
+        )
+
     if args.kernel == "pagerank":
         from gms_spark.graph.pagerank import pagerank
 
-        res = pagerank(graph, tol=args.tol, max_iters=args.iters, io=io, run_id=args.run_id,
+        if args.weighted and "weight" not in edges.columns:
+            raise SystemExit("--weighted requires a weight column (.wel or weighted parquet)")
+        res = pagerank(weighted_graph() if args.weighted else graph,
+                       tol=args.tol, max_iters=args.iters, io=io, run_id=args.run_id,
                        hub_salt_threshold=args.hub_salt)
         out, iters = res.scores, res.iterations
     elif args.kernel == "components":
@@ -122,12 +142,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.kernel in ("sssp", "sssp_delta"):
         from gms_spark.graph.traversal import sssp, sssp_delta_stepping
 
-        if "weight" in edges.columns:  # .wel / weighted parquet: symmetrize keeping min weight
-            w = edges.select("src", "dst", "weight")
-            wgraph = w if args.no_symmetrize else (
-                w.unionAll(w.select(w.dst.alias("src"), w.src.alias("dst"), "weight"))
-                .groupBy("src", "dst").min("weight").withColumnRenamed("min(weight)", "weight")
-            )
+        if "weight" in edges.columns:  # .wel / weighted parquet
+            wgraph = weighted_graph()
         else:  # GAPBS-style deterministic weight insertion on the built graph
             from gms_spark.graph.generators import insert_weights
 

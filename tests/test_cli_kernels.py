@@ -41,3 +41,40 @@ def test_cli_bfs_matches_kernel(spark, capsys):
     rows = int(out.split("rows=")[1].split()[0])
     g = build_undirected(read_edge_list(spark, EL).select("src", "dst"))
     assert rows == bfs(g, 0).count()
+
+
+def test_cli_pagerank_weighted(spark, tmp_path, capsys):
+    """--weighted flows the .wel weight column into the kernel's
+    weight/out-strength transition (min-weight symmetrization, like
+    sssp); scores must equal the direct weighted kernel call and differ
+    from the unweighted run on the same edges."""
+    import pyspark.sql.functions as F
+
+    from gms_spark.graph.pagerank import pagerank
+
+    wel = tmp_path / "g.wel"
+    wel.write_text("0 1 3.0\n0 2 1.0\n1 2 1.0\n1 3 5.0\n")
+    outdir = str(tmp_path / "out")
+    assert cli.main(
+        ["--kernel", "pagerank", "--weighted", "--input", str(wel),
+         "--output", outdir, "--iters", "8"]
+    ) == 0
+    got = {r["vertex"]: r["score"] for r in spark.read.parquet(outdir).collect()}
+
+    w = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 1.0), (1, 3, 5.0)],
+        "src long, dst long, weight double",
+    )
+    und = (
+        w.unionAll(w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+        .groupBy("src", "dst").min("weight").withColumnRenamed("min(weight)", "weight")
+    )
+    want = {r["vertex"]: r["score"] for r in pagerank(und, tol=1e-6, max_iters=8).scores.collect()}
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    plain = {
+        r["vertex"]: r["score"]
+        for r in pagerank(und.select("src", "dst"), tol=1e-6, max_iters=8).scores.collect()
+    }
+    assert got[3] != pytest.approx(plain[3], abs=1e-9)
