@@ -202,3 +202,77 @@ def test_resize_media_end_to_end(spark):
             assert r["n_values"] == ow * oh * 3
         else:
             assert resized[i] == plain[i]
+
+
+def test_stream_dedup_matches_batch_keys(spark, tmp_path):
+    """Streaming first-seen dedup drains to exactly the batch-distinct
+    key set (row choice within a key is arrival-order-dependent by
+    contract, so the equality is on keys + counts, both deterministic)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("ts", "user_id", "event_type")
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+
+    src = str(tmp_path / "dedup_in")
+    ev.write.parquet(src)
+    from gms_spark.streaming.dedup import stream_dedup
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_dedup(stream, ["user_id", "event_type"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select user_id, event_type from dedup_test").collect()
+    got = [(r["user_id"], r["event_type"]) for r in rows]
+    assert len(got) == len(set(got)) == len(batch_keys)
+    assert set(got) == batch_keys
+
+
+def test_canonical_url_stream_dedup(spark, tmp_path):
+    """Messy urls canonicalized IN the stream dedup to the same canonical
+    set the batch url_dedup query computes on identical input."""
+    from gms_spark.urls import canonicalize_url, messy_urls, url_dedup
+
+    n = 60
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    # ts offset off epoch 0: the initial streaming watermark IS epoch 0
+    # and the late filter drops rows with ts <= watermark, so a row at
+    # exactly 1970-01-01T00:00:00 silently vanishes (measured)
+    m = messy_urls(docs, group=3, seed=11).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") * 60 + 86400)
+    )
+    batch_canon = {
+        r["canonical"] for r in url_dedup(m, url_col="raw_url").select("canonical").collect()
+    }
+
+    src = str(tmp_path / "urls_in")
+    m.select("doc_id", F.col("raw_url").alias("url"), "ts").write.parquet(src)
+    from gms_spark.streaming.dedup import canonical_url_stream_dedup
+
+    stream = spark.readStream.schema("doc_id long, url string, ts timestamp").parquet(src)
+    # watermark wider than the data's 60-min ts span: availableNow may
+    # split the input into several micro-batches in arbitrary file order,
+    # and rows older than an already-advanced watermark are dropped as
+    # late (correct streaming semantics, wrong for an equality test)
+    out = canonical_url_stream_dedup(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("urldedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["canonical"] for r in spark.sql("select canonical from urldedup_test").collect()]
+    assert len(got) == len(set(got)) == len(batch_canon)
+    assert set(got) == batch_canon
