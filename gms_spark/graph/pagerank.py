@@ -56,6 +56,7 @@ def pagerank(
     hub_salt_threshold: int | None = None,
     num_partitions: int | None = None,
     check_every: int = 1,
+    start_scores: DataFrame | None = None,
 ) -> PageRankResult:
     """See module docstring.
 
@@ -145,7 +146,20 @@ def pagerank(
     full_in_coverage = n_dangling == 0 and int(stats["n_uncovered"] or 0) == 0
 
     base = (1.0 - damping) / n
-    scores0 = verts.select("vertex", F.lit(1.0 / n).alias("score"))
+    if start_scores is not None:
+        # Warm start for evolving graphs: seed from a previous run's
+        # scores (e.g. yesterday's crawl) instead of uniform 1/n — the
+        # fixpoint is unchanged (power iteration converges from any
+        # positive start), but a small edge delta leaves the old scores
+        # near the new fixpoint, so tol is reached in far fewer
+        # supersteps. New vertices (absent from the seed) start at 1/n;
+        # stale seed vertices that left the graph are dropped by the
+        # inner vertex set.
+        scores0 = verts.join(
+            start_scores.select("vertex", F.col("score").alias("_seed")), "vertex", "left"
+        ).select("vertex", F.coalesce(F.col("_seed"), F.lit(1.0 / n)).alias("score"))
+    else:
+        scores0 = verts.select("vertex", F.lit(1.0 / n).alias("score"))
 
     def one_superstep(scores: DataFrame, extra: float = 0.0) -> DataFrame:
         """One pull update as a LAZY transform (no actions)."""

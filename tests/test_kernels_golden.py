@@ -128,3 +128,31 @@ def test_pagerank_weighted_matches_numpy(spark):
     res_u = pagerank(df.select("src", "dst"), fixed_iters=iters)
     got_u = {r["vertex"]: r["score"] for r in res_u.scores.collect()}
     assert got_u["b"] != pytest.approx(got["b"], abs=1e-9)
+
+
+def test_pagerank_warm_start(spark):
+    """Warm start (start_scores) reaches the SAME fixpoint as a cold run
+    on the mutated graph — power iteration converges from any positive
+    start — in strictly fewer supersteps when the edge delta is small
+    (the evolving-crawl pattern: seed today's run from yesterday's
+    scores)."""
+    from gms_spark.io.readers import read_edge_list
+
+    g = build_undirected(read_edge_list(spark, "tests/data/triangles_3.el").select("src", "dst"))
+    # tol/check_every sized for suite wall time: identical for all three
+    # runs, so the iteration-count comparison stays apples-to-apples
+    kw = dict(tol=1e-7, max_iters=300, check_every=3)
+    cold = pagerank(g, **kw)
+    # small delta: one new intra-component edge (0-3 is absent)
+    import pyspark.sql.functions as F
+
+    extra = spark.createDataFrame([(0, 3), (3, 0)], "src long, dst long")
+    g2 = g.select("src", "dst").unionAll(extra).distinct()
+    cold2 = pagerank(g2, **kw)
+    warm2 = pagerank(g2, start_scores=cold.scores, **kw)
+    got_c = {r["vertex"]: r["score"] for r in cold2.scores.collect()}
+    got_w = {r["vertex"]: r["score"] for r in warm2.scores.collect()}
+    assert got_w.keys() == got_c.keys()
+    for v in got_c:
+        assert got_w[v] == pytest.approx(got_c[v], abs=1e-5), v
+    assert warm2.iterations < cold2.iterations, (warm2.iterations, cold2.iterations)
