@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="degree-aware hub splitting for pagerank/components/labelprop: "
                         "split destinations with in-degree > K into ceil(indeg/K) salt "
                         "buckets (two-stage gather; see graph/skew.py)")
+    p.add_argument("--start-scores", default=None, metavar="PATH",
+                   help="pagerank: warm-start from a previous run's (vertex, score) "
+                        "parquet — same fixpoint, fewer supersteps after a small "
+                        "graph delta (evolving-crawl reruns)")
     p.add_argument("--weighted", action="store_true",
                    help="pagerank: use the input's weight column (weight/out-strength "
                         "transition probabilities); symmetrization keeps the min weight "
@@ -108,9 +112,10 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.weighted and "weight" not in edges.columns:
             raise SystemExit("--weighted requires a weight column (.wel or weighted parquet)")
+        seed_scores = spark.read.parquet(args.start_scores) if args.start_scores else None
         res = pagerank(weighted_graph() if args.weighted else graph,
                        tol=args.tol, max_iters=args.iters, io=io, run_id=args.run_id,
-                       hub_salt_threshold=args.hub_salt)
+                       hub_salt_threshold=args.hub_salt, start_scores=seed_scores)
         out, iters = res.scores, res.iterations
     elif args.kernel == "components":
         from gms_spark.graph.components import connected_components

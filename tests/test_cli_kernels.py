@@ -78,3 +78,24 @@ def test_cli_pagerank_weighted(spark, tmp_path, capsys):
         for r in pagerank(und.select("src", "dst"), tol=1e-6, max_iters=8).scores.collect()
     }
     assert got[3] != pytest.approx(plain[3], abs=1e-9)
+
+
+def test_cli_pagerank_warm_start(spark, tmp_path, capsys):
+    """--start-scores reruns from a previous output: same scores, fewer
+    supersteps — the evolving-crawl relaunch path through the CLI."""
+    out1 = str(tmp_path / "s1")
+    assert cli.main(["--kernel", "pagerank", "--input", EL, "--output", out1, "--tol", "1e-7"]) == 0
+    it_cold = int(capsys.readouterr().out.split("iterations=")[1].split()[0])
+
+    out2 = str(tmp_path / "s2")
+    assert cli.main(
+        ["--kernel", "pagerank", "--input", EL, "--output", out2,
+         "--tol", "1e-7", "--start-scores", out1]
+    ) == 0
+    it_warm = int(capsys.readouterr().out.split("iterations=")[1].split()[0])
+    assert it_warm < it_cold, (it_warm, it_cold)
+    a = {r["vertex"]: r["score"] for r in spark.read.parquet(out1).collect()}
+    b = {r["vertex"]: r["score"] for r in spark.read.parquet(out2).collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert b[v] == pytest.approx(a[v], abs=1e-6), v
