@@ -1403,6 +1403,102 @@ hn AS (SELECT count(*) AS n FROM hverts),
     )
 
 
+LP_EVAL_Q = 50
+LP_EVAL_FRAC = 0.2
+LP_EVAL_SEED = 7
+
+
+def _q_lp_eval(spark, sf_dir):
+    """Full link-prediction EVALUATION loop as one hash-checked scalar
+    row (evaluation.h:32-174 semantics): hide 20% of edges by the
+    engine-LCG pair hash, predict top-q on the remaining graph
+    (adamic-adar over 2-hop candidates), report precision@q against the
+    hidden edges and the exact tie-averaged Mann-Whitney AUC of hidden
+    vs 25%-sampled negative candidate scores. hasher='lcg' makes every
+    draw SQL-replayable — the oracle recomputes split, candidates,
+    scores, top-q and AUC end-to-end.
+
+    The VALUES are honest properties of the synthetic doc graph, and
+    they are deliberately unflattering: its hub structure (40% of links
+    collapse onto 16 hub docs) makes adamic-adar ANTI-predictive —
+    top-q fills with hub-hub pairs no hidden edge touches (precision 0)
+    and AUC sits below 0.5 (0.437). The query's point is that the
+    evaluation loop itself is hash-checked, not that the synthetic
+    graph is link-predictable; on a real web graph the same loop
+    reports the real numbers."""
+    from gms_spark.graph.lp_eval import evaluate_link_prediction
+
+    r = evaluate_link_prediction(
+        doc_graph(spark, sf_dir),
+        q=LP_EVAL_Q,
+        test_frac=LP_EVAL_FRAC,
+        seed=LP_EVAL_SEED,
+        metric="adamic_adar",
+        hasher="lcg",
+    )
+    return spark.createDataFrame(
+        [(round(r.precision_at_q, 6), round(r.auc, 6), r.q, r.n_test)],
+        "precision_at_q double, auc double, q long, n_test long",
+    )
+
+
+def _lp_eval_sql(q: int = LP_EVAL_Q, test_frac: float = LP_EVAL_FRAC, seed: int = LP_EVAL_SEED) -> str:
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P
+
+    salt_split = seed * ARITH_B % ARITH_P
+    salt_neg = (seed + 1) * ARITH_B % ARITH_P
+    cut = int(test_frac * ARITH_P)
+    return (
+        "WITH "
+        + GRAPH_CTES
+        + f""",
+half AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+hm AS (
+  SELECT a, b, ((a % {ARITH_P}) * {ARITH_A} + b * {ARITH_C} + {salt_split}) % {ARITH_P} AS m
+  FROM half),
+test AS MATERIALIZED (SELECT a, b FROM hm WHERE m < {cut}),
+trh AS (SELECT a, b FROM hm WHERE m >= {cut}),
+tr AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM trh UNION ALL SELECT b AS src, a AS dst FROM trh),
+tdeg AS MATERIALIZED (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree FROM tr GROUP BY src),
+cand AS (
+  SELECT DISTINCT e1.src AS a, e2.src AS b
+  FROM tr e1 JOIN tr e2 ON e2.dst = e1.dst AND e1.src < e2.src),
+nonedge AS MATERIALIZED (
+  SELECT c.a, c.b FROM cand c LEFT JOIN tr e ON e.src = c.a AND e.dst = c.b
+  WHERE e.src IS NULL),
+sc AS MATERIALIZED (
+  SELECT p.a, p.b, round(sum(1.0/ln(d.degree)), 6) AS score
+  FROM nonedge p
+  JOIN tr e1 ON e1.src = p.a
+  JOIN tr e2 ON e2.src = p.b AND e2.dst = e1.dst
+  JOIN tdeg d ON d.vertex = e1.dst
+  GROUP BY p.a, p.b),
+topq AS (SELECT a, b FROM sc ORDER BY score DESC, a, b LIMIT {q}),
+hits AS (SELECT count(*) AS h FROM topq t JOIN test USING (a, b)),
+pos AS MATERIALIZED (SELECT score FROM sc JOIN test USING (a, b)),
+neg AS MATERIALIZED (
+  SELECT s.score FROM sc s
+  LEFT JOIN test t ON t.a = s.a AND t.b = s.b
+  WHERE t.a IS NULL
+    AND ((s.a % {ARITH_P}) * {ARITH_A} + s.b * {ARITH_C} + {salt_neg}) % {ARITH_P} % 4 = 0),
+auc AS (
+  SELECT CASE
+    WHEN (SELECT count(*) FROM pos) = 0 OR (SELECT count(*) FROM neg) = 0 THEN 0.5
+    ELSE (SELECT sum(CASE WHEN n.score < p.score THEN 1.0
+                          WHEN n.score = p.score THEN 0.5
+                          ELSE 0.0 END)
+          FROM pos p CROSS JOIN neg n)
+         / ((SELECT count(*) FROM pos) * (SELECT count(*) FROM neg))
+  END AS v)
+SELECT round((SELECT h FROM hits) / {float(q)}, 6) AS precision_at_q,
+       round((SELECT v FROM auc), 6) AS auc,
+       CAST({q} AS BIGINT) AS q,
+       (SELECT count(*) FROM test) AS n_test
+"""
+    )
+
+
 def _q_simhash_dedup(spark, sf_dir):
     from gms_spark.text.dedup import simhash_near_dup
 
@@ -1754,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "host_graph": _q_host_graph,
         "pagerank_hosts": _q_pagerank_hosts,
+        "lp_eval": _q_lp_eval,
         "simhash_dedup": _q_simhash_dedup,
         # text analysis
         "token_stats": _q_token_stats,
@@ -1942,6 +2039,7 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.3""",
         "url_dedup": _url_dedup_sql(),
         "host_graph": _host_graph_sql(),
         "pagerank_hosts": _pagerank_hosts_sql(),
+        "lp_eval": _lp_eval_sql(),
         "simhash_dedup": _simhash_sql(0.3),
         "token_stats": """
 WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents)

@@ -27,15 +27,35 @@ from gms_spark.graph.build import build_undirected
 from gms_spark.graph.similarity import link_prediction_topq, vertex_similarity
 
 
-def split_edges(edges: DataFrame, test_frac: float = 0.2, seed: int = 7) -> tuple[DataFrame, DataFrame]:
+def _pair_mix(a: str, b: str, seed: int):
+    """Engine LCG mix of a canonical pair — the SQL-replayable hash
+    policy (same int64 arithmetic contract as coloring draws / MinHash
+    coefficients), for callers that need a DuckDB-twin-checkable split."""
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P
+
+    salt = seed * ARITH_B % ARITH_P
+    return ((F.col(a) % ARITH_P) * ARITH_A + F.col(b) * ARITH_C + F.lit(salt).cast("long")) % ARITH_P
+
+
+def split_edges(
+    edges: DataFrame, test_frac: float = 0.2, seed: int = 7, hasher: str = "xxhash64"
+) -> tuple[DataFrame, DataFrame]:
     """(train, test) split of undirected edges; both halves canonical a<b.
 
     Hash-threshold split: deterministic under any partitioning (the
     distributed replacement for the reference's RNG edge sampler).
+    ``hasher="lcg"`` swaps xxhash64 for the engine LCG mix — weaker as a
+    hash, but bit-replayable by a SQL oracle (the lp_eval driver query).
     """
     half = edges.where(F.col("src") < F.col("dst"))
-    cut = int(test_frac * (1 << 31))
-    h = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1 << 31))
+    if hasher == "lcg":
+        from gms_spark.graph.coloring import ARITH_P
+
+        cut = int(test_frac * ARITH_P)
+        h = _pair_mix("src", "dst", seed)
+    else:
+        cut = int(test_frac * (1 << 31))
+        h = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1 << 31))
     test = half.where(h < cut)
     train = half.where(h >= cut)
     return train, test
@@ -50,10 +70,15 @@ class LPEvalResult:
 
 
 def evaluate_link_prediction(
-    edges: DataFrame, q: int = 50, test_frac: float = 0.2, seed: int = 7, metric: str = "adamic_adar"
+    edges: DataFrame,
+    q: int = 50,
+    test_frac: float = 0.2,
+    seed: int = 7,
+    metric: str = "adamic_adar",
+    hasher: str = "xxhash64",
 ) -> LPEvalResult:
     """Hide test_frac of edges, predict from the rest, score the predictions."""
-    train_half, test_half = split_edges(edges, test_frac, seed)
+    train_half, test_half = split_edges(edges, test_frac, seed, hasher=hasher)
     train = build_undirected(train_half)  # re-symmetrize the kept half
     n_test = test_half.count()
 
@@ -75,7 +100,9 @@ def evaluate_link_prediction(
     )
     pos = cands.join(test_half.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_semi")
     neg = cands.join(test_half.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_anti")
-    neg = neg.where(F.pmod(F.xxhash64("a", "b", F.lit(seed + 1)), 4) == 0)  # deterministic 25% sample
+    # deterministic 25% sample, same hash policy as the split
+    neg_h = _pair_mix("a", "b", seed + 1) if hasher == "lcg" else F.xxhash64("a", "b", F.lit(seed + 1))
+    neg = neg.where(F.pmod(neg_h, 4) == 0)
 
     col = {"adamic_adar": "adamic_adar", "common_neighbors": "common_neighbors", "jaccard_gms": "jaccard_gms"}[metric]
     ps = vertex_similarity(train, pos).select(F.col(col).alias("s"), F.lit(1).alias("is_pos"))
