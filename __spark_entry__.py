@@ -1499,6 +1499,34 @@ SELECT round((SELECT h FROM hits) / {float(q)}, 6) AS precision_at_q,
     )
 
 
+def _q_kclique4_list(spark, sf_dir):
+    """kClist LISTING (not just the count): every 4-clique's sorted
+    members as columns, hash-checked against a 6-edge-join enumeration
+    in SQL — verifies the member stacks the frontier carries, where the
+    count query only verifies their cardinality."""
+    from gms_spark.graph.kclique import kclique_list
+
+    m = kclique_list(doc_graph(spark, sf_dir), 4)
+    return m.select(*[F.element_at("members", i + 1).alias(f"v{i + 1}") for i in range(4)])
+
+
+def _kclique4_list_sql() -> str:
+    return (
+        "WITH "
+        + GRAPH_CTES
+        + """
+SELECT e1.src AS v1, e1.dst AS v2, e2.dst AS v3, e3.dst AS v4
+FROM und e1
+JOIN und e2 ON e2.src = e1.src AND e2.dst > e1.dst
+JOIN und e3 ON e3.src = e1.src AND e3.dst > e2.dst
+JOIN und e23 ON e23.src = e1.dst AND e23.dst = e2.dst
+JOIN und e24 ON e24.src = e1.dst AND e24.dst = e3.dst
+JOIN und e34 ON e34.src = e2.dst AND e34.dst = e3.dst
+WHERE e1.src < e1.dst
+"""
+    )
+
+
 def _q_simhash_dedup(spark, sf_dir):
     from gms_spark.text.dedup import simhash_near_dup
 
@@ -1851,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "pagerank_hosts": _q_pagerank_hosts,
         "lp_eval": _q_lp_eval,
+        "kclique4_list": _q_kclique4_list,
         "simhash_dedup": _q_simhash_dedup,
         # text analysis
         "token_stats": _q_token_stats,
@@ -2040,6 +2069,7 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.3""",
         "host_graph": _host_graph_sql(),
         "pagerank_hosts": _pagerank_hosts_sql(),
         "lp_eval": _lp_eval_sql(),
+        "kclique4_list": _kclique4_list_sql(),
         "simhash_dedup": _simhash_sql(0.3),
         "token_stats": """
 WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents)
