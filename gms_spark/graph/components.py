@@ -45,6 +45,7 @@ def connected_components(
     run_id: str | None = None,
     check_every: int = 3,
     hub_salt_threshold: int | None = None,
+    start_labels: DataFrame | None = None,
 ) -> ComponentsResult:
     """See module docstring.
 
@@ -72,7 +73,20 @@ def connected_components(
         edges = stage_edges(with_hub_salt(edges, hub_salt_threshold))
         salted = ["_salt"]
     verts = vertices(edges)
-    labels0 = verts.select("vertex", F.col("vertex").alias("component"))
+    if start_labels is not None:
+        # Warm start for GROWING graphs (edge additions only): seed from
+        # a previous run's labels. Valid because each seed label is the
+        # min vertex id of v's OLD component — a vertex id inside v's
+        # new (superset) component — and hash-min converges to the new
+        # minima from any such labeling; rounds then scale with how far
+        # the delta merged components, not the full diameter. After edge
+        # DELETIONS a seed is wrong (old minima may span split
+        # components) — rerun cold there.
+        labels0 = verts.join(
+            start_labels.select("vertex", F.col("component").alias("_seed")), "vertex", "left"
+        ).select("vertex", F.least(F.coalesce("_seed", "vertex"), F.col("vertex")).alias("component"))
+    else:
+        labels0 = verts.select("vertex", F.col("vertex").alias("component"))
 
     def one_round(labels: DataFrame) -> DataFrame:
         cand = (

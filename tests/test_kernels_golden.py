@@ -156,3 +156,34 @@ def test_pagerank_warm_start(spark):
     for v in got_c:
         assert got_w[v] == pytest.approx(got_c[v], abs=1e-5), v
     assert warm2.iterations < cold2.iterations, (warm2.iterations, cold2.iterations)
+
+
+def test_components_warm_start(spark):
+    """start_labels on a GROWN graph: correct new fixpoint (merged
+    components get the merged min), and an unchanged-component delta
+    converges in strictly fewer rounds than a cold run."""
+    # two 8-vertex paths: 0-1-...-7 and 100-101-...-107 (short chains —
+    # every extra diameter unit costs a whole Spark job per CC run here)
+    chain = [(i, i + 1) for i in range(7)] + [(100 + i, 101 + i) for i in range(7)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    g = build_undirected(e)
+    base = connected_components(g)  # default chunking: fewest jobs
+    labels = {r["vertex"]: r["component"] for r in base.components.collect()}
+    assert set(labels.values()) == {0, 100}
+
+    # delta 1: intra-component edge (0,11) — labels unchanged, warm run
+    # must detect the fixpoint almost immediately
+    g2 = build_undirected(e.unionAll(spark.createDataFrame([(0, 7)], "src long, dst long")))
+    # same chunk granularity on both sides keeps the round comparison fair
+    cold2 = connected_components(g2, check_every=2)
+    warm2 = connected_components(g2, check_every=2, start_labels=base.components)
+    got_c = {r["vertex"]: r["component"] for r in cold2.components.collect()}
+    got_w = {r["vertex"]: r["component"] for r in warm2.components.collect()}
+    assert got_w == got_c
+    assert warm2.iterations < cold2.iterations, (warm2.iterations, cold2.iterations)
+
+    # delta 2: merge the two components — warm still reaches the merged min
+    g3 = build_undirected(e.unionAll(spark.createDataFrame([(7, 100)], "src long, dst long")))
+    warm3 = connected_components(g3, start_labels=base.components)
+    got3 = {r["vertex"]: r["component"] for r in warm3.components.collect()}
+    assert set(got3.values()) == {0} and len(got3) == 16
