@@ -243,7 +243,11 @@ def collapse_vertices(
     contraction step of any multilevel graph pipeline.
 
     Returns (src, dst, weight: long) over group ids, self-loops
-    (intra-group edges) dropped unless asked for. Scale shape: two
+    (intra-group edges) dropped unless asked for. Inner-join semantics:
+    an edge whose endpoint is missing from the mapping is DROPPED —
+    callers rolling up a graph whose vertex set may exceed the mapping
+    must decide explicitly (left-join a default group) rather than get
+    silent partial coverage. Scale shape: two
     equi-joins against the mapping (|V| rows — broadcast when small,
     shuffled-hash otherwise; AQE decides) followed by ONE partial-agg
     exchange on the collapsed keys: a hub host's parallel-edge fan-in
