@@ -53,6 +53,12 @@ def connected_components(
     min-exchange+compress rounds lazily per Spark job and tests the
     changed-count once per chunk. Correct because labels are monotone
     non-increasing: a chunk with zero changes proves the fixpoint.
+    3 is MEASURED optimal — each round references the incoming labels
+    ~3× (exchange join, hook, compress self-join), so a k-deep lazy
+    chain carries ~3^k copies of the state subtree; at sf0.1,
+    check_every=5 ran 10-20× SLOWER than 3 (172-210 s vs 9-18 s,
+    identical fixpoint hash) AND wasted rounds on the coarser
+    convergence check (10 vs 6). Do not raise it.
 
     ``hub_salt_threshold=k`` splits destinations with in-degree > k into
     salt buckets on the static edge side (skew.py): the min-exchange
