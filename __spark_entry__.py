@@ -1499,6 +1499,37 @@ SELECT round((SELECT h FROM hits) / {float(q)}, 6) AS precision_at_q,
     )
 
 
+NGRAM_N = 3
+NGRAM_K = 20
+
+
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus boilerplate detector: top-k word 3-grams by frequency with
+    per-ngram document coverage; ties broken by ngram text so the cut is
+    deterministic. The oracle slides the same window with a shared index
+    table + list slicing."""
+    from gms_spark.text.analysis import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=NGRAM_N, k=NGRAM_K)
+
+
+def _top_ngrams_sql(n: int = NGRAM_N, k: int = NGRAM_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+mx AS (SELECT max(len(t)) AS m FROM toks),
+js AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
+grams AS (
+  SELECT doc_id, array_to_string(t[js.i : js.i + {n - 1}], ' ') AS ngram
+  FROM toks JOIN js ON js.i <= len(t) - {n} + 1)
+SELECT ngram, CAST(count(*) AS BIGINT) AS freq,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY ngram
+ORDER BY freq DESC, ngram LIMIT {k}
+"""
+
+
 def _q_kclique4_list(spark, sf_dir):
     """kClist LISTING (not just the count): every 4-clique's sorted
     members as columns, hash-checked against a 6-edge-join enumeration
@@ -1880,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "lp_eval": _q_lp_eval,
         "kclique4_list": _q_kclique4_list,
+        "top_ngrams": _q_top_ngrams,
         "simhash_dedup": _q_simhash_dedup,
         # text analysis
         "token_stats": _q_token_stats,
@@ -2070,6 +2102,7 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.3""",
         "pagerank_hosts": _pagerank_hosts_sql(),
         "lp_eval": _lp_eval_sql(),
         "kclique4_list": _kclique4_list_sql(),
+        "top_ngrams": _top_ngrams_sql(),
         "simhash_dedup": _simhash_sql(0.3),
         "token_stats": """
 WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents)

@@ -103,3 +103,32 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     term = (F.col("pos") + 1) * (F.ascii(F.col("tok")) * 31 + F.length("tok"))
     return toks.groupBy("doc_id").agg((F.sum(term) % F.lit(2147483647)).alias("fp"))
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k word n-grams — the boilerplate detector of a
+    training-data pipeline (an n-gram recurring across many documents is
+    shared template text worth stripping before training).
+
+    Pure JVM expressions: tokenize once, slide the n-window with
+    transform(sequence) + slice (no explode-then-self-join — the n-gram
+    is assembled inside the row before the ONE exploding projection),
+    then a single partial-agg groupBy. Output (ngram, freq, n_docs),
+    top-k by (freq DESC, ngram ASC) — the tie-break makes the cut
+    deterministic and engine-agnostic.
+    """
+    toks = _toks(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("freq"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("freq").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -143,3 +143,21 @@ def test_dedup_clusters_transitive(spark):
     # the fixture corpus must actually exercise transitivity: at least
     # one cluster larger than a single pair
     assert any(sz > 2 for (_, _, sz) in got.values())
+
+
+def test_top_ngrams_hand_corpus(spark):
+    """n-gram window + counts + deterministic tie-break on a corpus
+    small enough to verify by hand; short docs contribute nothing."""
+    from gms_spark.text.analysis import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c"),      # "a b c" x2, "b c a", "c a b"
+            (1, "a b c"),            # "a b c" x1
+            (2, "b c"),              # shorter than n: no 3-grams
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [(r["ngram"], r["freq"], r["n_docs"]) for r in top_ngrams(docs, n=3, k=3).collect()]
+    assert rows == [("a b c", 3, 2), ("b c a", 1, 1), ("c a b", 1, 1)]
