@@ -1454,7 +1454,7 @@ def _lp_eval_sql(q: int = LP_EVAL_Q, test_frac: float = LP_EVAL_FRAC, seed: int 
         + f""",
 half AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
 hm AS (
-  SELECT a, b, ((a % {ARITH_P}) * {ARITH_A} + b * {ARITH_C} + {salt_split}) % {ARITH_P} AS m
+  SELECT a, b, ((a % {ARITH_P}) * {ARITH_A} + (b % {ARITH_P}) * {ARITH_C} + {salt_split}) % {ARITH_P} AS m
   FROM half),
 test AS MATERIALIZED (SELECT a, b FROM hm WHERE m < {cut}),
 trh AS (SELECT a, b FROM hm WHERE m >= {cut}),
@@ -1481,7 +1481,7 @@ neg AS MATERIALIZED (
   SELECT s.score FROM sc s
   LEFT JOIN test t ON t.a = s.a AND t.b = s.b
   WHERE t.a IS NULL
-    AND ((s.a % {ARITH_P}) * {ARITH_A} + s.b * {ARITH_C} + {salt_neg}) % {ARITH_P} % 4 = 0),
+    AND ((s.a % {ARITH_P}) * {ARITH_A} + (s.b % {ARITH_P}) * {ARITH_C} + {salt_neg}) % {ARITH_P} % 4 = 0),
 auc AS (
   SELECT CASE
     WHEN (SELECT count(*) FROM pos) = 0 OR (SELECT count(*) FROM neg) = 0 THEN 0.5

@@ -74,6 +74,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--topq", type=int, default=20, help="link_prediction top-q")
     args = p.parse_args(argv)
 
+    # pagerank-only flags: fail loudly rather than silently ignore —
+    # a components run "warm-started" with --start-scores is an operator
+    # mistake that must not pass unnoticed.
+    if args.kernel != "pagerank":
+        for flag, val in (("--start-scores", args.start_scores), ("--weighted", args.weighted)):
+            if val:
+                raise SystemExit(f"{flag} is only consumed by --kernel pagerank (got {args.kernel})")
+
     from gms_spark.session import get_spark
 
     spark = get_spark(f"gms-{args.kernel}")

@@ -255,11 +255,15 @@ def collapse_vertices(
     """
     m_src = mapping.select(F.col("vertex").alias("src"), F.col("group").alias("_gsrc"))
     m_dst = mapping.select(F.col("vertex").alias("dst"), F.col("group").alias("_gdst"))
+    # Weight-preserving: a second-level rollup (hosts → domains) of an
+    # already-collapsed graph must SUM the existing edge weights, not
+    # re-count parallel edges (which would reset every weight to 1).
+    agg = F.sum("weight").alias("weight") if "weight" in edges.columns else F.count("*").alias("weight")
     out = (
         edges.join(m_src, "src")
         .join(m_dst, "dst")
         .groupBy(F.col("_gsrc").alias("src"), F.col("_gdst").alias("dst"))
-        .agg(F.count("*").alias("weight"))
+        .agg(agg)
     )
     if drop_self_loops:
         out = out.where(F.col("src") != F.col("dst"))

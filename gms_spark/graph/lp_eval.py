@@ -34,7 +34,14 @@ def _pair_mix(a: str, b: str, seed: int):
     from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P
 
     salt = seed * ARITH_B % ARITH_P
-    return ((F.col(a) % ARITH_P) * ARITH_A + F.col(b) * ARITH_C + F.lit(salt).cast("long")) % ARITH_P
+    # Both operands pre-reduced mod P: (a%P)*A tops out near 2^61 and
+    # (b%P)*C near 2^47, so the sum stays int64-safe for ANY vertex id.
+    # Unreduced b*C overflows int64 once b exceeds ~2^46 — Spark wraps
+    # silently while DuckDB BIGINT errors, silently diverging the split.
+    # For ids < P (every sandbox graph) the hash value is unchanged.
+    return (
+        (F.col(a) % ARITH_P) * ARITH_A + (F.col(b) % ARITH_P) * ARITH_C + F.lit(salt).cast("long")
+    ) % ARITH_P
 
 
 def split_edges(

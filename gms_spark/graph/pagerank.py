@@ -222,10 +222,19 @@ def pagerank(
         # superstep (extra_i gates the NEXT plan), but BOTH metrics
         # (L1 delta and next dmass) ride the superstep's own
         # materialization via observe: one job, not three. dmass_0 is
-        # analytic (uniform init → n_dangling/n).
+        # analytic under the uniform init (n_dangling/n); with a warm
+        # start the seed is not uniform, so dmass_0 must be measured
+        # over scores0 — otherwise the first superstep redistributes
+        # the wrong mass and fixed_iters runs diverge from true power
+        # iteration from the seed (same fixpoint, wrong trajectory).
         dflag = dang.withColumn("_d", F.lit(1.0))
         scores = scores0.persist()
-        dmass = n_dangling * (1.0 / n)
+        if start_scores is not None:
+            dmass = float(
+                scores.join(dang, "vertex", "left_semi").agg(F.sum("score")).first()[0] or 0.0
+            )
+        else:
+            dmass = n_dangling * (1.0 / n)
         deltas = []
         done = 0
         for it in range(iters):

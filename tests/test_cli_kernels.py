@@ -99,3 +99,18 @@ def test_cli_pagerank_warm_start(spark, tmp_path, capsys):
     assert a.keys() == b.keys()
     for v in a:
         assert b[v] == pytest.approx(a[v], abs=1e-6), v
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["--kernel", "components", "--input", EL, "--start-scores", "/tmp/nope"],
+        ["--kernel", "labelprop", "--input", EL, "--weighted"],
+    ],
+)
+def test_cli_pagerank_only_flags_rejected(argv):
+    """--start-scores / --weighted with a kernel that ignores them is an
+    operator mistake; the CLI must refuse, not silently drop the flag."""
+    with pytest.raises(SystemExit) as e:
+        cli.main(argv)
+    assert "pagerank" in str(e.value)

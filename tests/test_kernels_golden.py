@@ -187,3 +187,40 @@ def test_components_warm_start(spark):
     warm3 = connected_components(g3, start_labels=base.components)
     got3 = {r["vertex"]: r["component"] for r in warm3.components.collect()}
     assert set(got3.values()) == {0} and len(got3) == 16
+
+
+def test_pagerank_warm_start_redistribute_fixed_iters(spark):
+    """start_scores + dangling='redistribute' + fixed_iters must follow
+    TRUE power iteration from the seed: dmass_0 is measured over the
+    seed scores, not assumed uniform (n_dangling/n). Verified step-for-
+    step against a numpy oracle on a directed graph with a dangling
+    vertex and a deliberately skewed seed."""
+    import pyspark.sql.functions as F
+
+    # directed: 3 is dangling (no out-edges)
+    el = [(0, 1), (0, 2), (1, 2), (2, 3), (1, 3)]
+    n, d, iters = 4, 0.85, 3
+    edges = spark.createDataFrame(el, "src long, dst long")
+    seed = [0.4, 0.3, 0.2, 0.1]  # non-uniform on purpose
+    seed_df = spark.createDataFrame(list(enumerate(seed)), "vertex long, score double")
+
+    # numpy power iteration with dangling redistribution from the seed
+    import numpy as np
+
+    outdeg = np.zeros(n)
+    for s, _ in el:
+        outdeg[s] += 1
+    x = np.array(seed)
+    for _ in range(iters):
+        dmass = x[outdeg == 0].sum()
+        nxt = np.full(n, (1 - d) / n + d * dmass / n)
+        for s, t in el:
+            nxt[t] += d * x[s] / outdeg[s]
+        x = nxt
+
+    res = pagerank(
+        edges, fixed_iters=iters, dangling="redistribute", start_scores=seed_df
+    )
+    got = {r["vertex"]: r["score"] for r in res.scores.collect()}
+    for v in range(n):
+        assert got[v] == pytest.approx(x[v], abs=1e-12), v

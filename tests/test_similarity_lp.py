@@ -174,3 +174,24 @@ def test_add_false_links_mutation(spark, edges_df_factory):
     mut2 = add_false_links(train, k, test=test_half)
     new2 = {(r["src"], r["dst"]) for r in mut2.where(F.col("src") < F.col("dst")).collect()}
     assert new2 == new  # deterministic
+
+
+def test_pair_mix_int64_safe_for_huge_ids(spark):
+    """The LCG pair mix must match pure-Python bignum arithmetic even for
+    vertex ids far beyond 2^46 — the point where the old un-reduced
+    b*ARITH_C term silently wrapped int64 in Spark (and errored in a
+    DuckDB oracle). Both operands are now pre-reduced mod P."""
+    from gms_spark.graph.coloring import ARITH_A, ARITH_B, ARITH_C, ARITH_P
+    from gms_spark.graph.lp_eval import _pair_mix
+
+    seed = 7
+    pairs = [(3, 5), (2**50, 2**55), (2**62, 2**62 + 12345), (ARITH_P - 1, 2**63 - 1)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["m"]
+        for r in df.select("a", "b", _pair_mix("a", "b", seed).alias("m")).collect()
+    }
+    salt = seed * ARITH_B % ARITH_P
+    for a, b in pairs:
+        want = ((a % ARITH_P) * ARITH_A + (b % ARITH_P) * ARITH_C + salt) % ARITH_P
+        assert got[(a, b)] == want, (a, b)

@@ -115,6 +115,16 @@ def test_collapse_vertices_and_host_of(spark):
     }
     assert withloops == {("a", "b"): 2, ("b", "a"): 1, ("a", "a"): 2, ("b", "b"): 1}
 
+    # Second-level rollup (e.g. hosts -> domains) must SUM the weights
+    # produced by the first collapse, not re-count parallel edges to 1.
+    mapping2 = spark.createDataFrame([("a", "top"), ("b", "top2")], "vertex string, group string")
+    first = collapse_vertices(edges, mapping)  # (a,b,2), (b,a,1)
+    second = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in collapse_vertices(first, mapping2, drop_self_loops=False).collect()
+    }
+    assert second == {("top", "top2"): 2, ("top2", "top"): 1}
+
     df = spark.createDataFrame(
         [("https://site3.example/p/9?a=1",), ("http://h.x:8080/q",)], "url string"
     )
