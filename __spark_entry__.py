@@ -1614,50 +1614,74 @@ def _ann_queries(corpus):
     )
 
 
-def _with_topk_recall(approx, corpus, queries_df, k):
-    """Append per-query recall@k measured IN-ENGINE against the exact
-    blocked-BLAS twin — the driver's rows-only record then carries a
-    quantified recall column instead of only a pytest-side threshold."""
+def _topk_summary(spark, approx, corpus, queries_df, k, recall_bound, extra=None):
+    """One-row deterministic summary of an approximate top-k run.
+
+    The recall of an LSH/IVF query is deterministic (seeded hashes, no
+    RNG) but not SQL-expressible, so instead of rows the driver checks
+    INVARIANTS: the oracle recomputes n_queries exactly and asserts the
+    boolean columns are 1 — the Spark side computes them for real
+    against the exact blocked-BLAS twin. A hash mismatch means a real
+    regression (recall fell below the pinned bound, an incomplete
+    top-k, or a wrong result row)."""
     from gms_spark.sim.ann import cosine_topk_blocked
 
     exact = cosine_topk_blocked(corpus, queries_df, k=k)
-    rec = (
-        approx.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall_at_k"))
-    )
-    return (
-        approx.join(rec, "query_id", "left")
-        .select(
-            "query_id",
-            "vec_id",
-            "cos",
-            F.col("rank").cast("long").alias("rnk"),
-            F.round(F.coalesce("recall_at_k", F.lit(0.0)), 4).alias("recall_at_k"),
-        )
+    nq = queries_df.count()
+    hits = approx.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi").count()
+    n_rows = approx.count()
+    recall = hits / float(nq * k)
+    cols = {
+        "n_queries": nq,
+        "k": k,
+        # every query produced a full top-k (candidate starvation check)
+        "results_complete": int(n_rows == nq * k),
+        f"recall_ge_{str(recall_bound).replace('.', '')}": int(recall >= recall_bound),
+    }
+    if extra:
+        cols.update(extra)
+    return spark.createDataFrame(
+        [tuple(cols.values())], ", ".join(f"{c} long" for c in cols)
     )
 
 
 def _q_ann_lsh(spark, sf_dir):
+    # Multi-table hyperplane LSH + exact re-rank. Recall < 1 by
+    # construction, but DETERMINISTIC — summarized as oracle-checkable
+    # invariants (bound pinned from measurement: 0.81 at sf0.001 AND
+    # sf0.01 with n_tables=16, n_planes=8, 1-bit multiprobe).
     from gms_spark.sim.ann import lsh_topk
 
     corpus = _embeddings(spark, sf_dir)
     queries_df = _ann_queries(corpus)
-    return _with_topk_recall(lsh_topk(corpus, queries_df, k=10), corpus, queries_df, 10)
+    return _topk_summary(
+        spark, lsh_topk(corpus, queries_df, k=10), corpus, queries_df, 10, recall_bound=0.7
+    )
 
 
 def _q_ann_ivf(spark, sf_dir):
     # IVF coarse-quantizer ANN (the brief's named alternative to LSH):
     # deterministic seeded centroids + distributed Lloyd, probe the
-    # n_probe nearest cells, exact re-rank inside. Approximate recall by
-    # construction (n_probe < n_centroids) → no SQL oracle; pytest holds
-    # the exhaustive-probe == exact-engine identity + statistical recall.
-    from gms_spark.sim.ann import ivf_topk
+    # n_probe nearest cells, exact re-rank inside. Summary invariants:
+    # recall ≥ 0.5 at n_probe=4 (measured 0.59/0.65 at sf0.001/sf0.01)
+    # and the exhaustive-probe identity — probing ALL cells must equal
+    # the exact engine row-for-row (rounded cos + vec_id tie-break).
+    from gms_spark.sim.ann import cosine_topk_blocked, ivf_topk
 
     corpus = _embeddings(spark, sf_dir)
     queries_df = _ann_queries(corpus)
     approx = ivf_topk(corpus, queries_df, k=10, n_centroids=16, n_probe=4)
-    return _with_topk_recall(approx, corpus, queries_df, 10)
+    exhaustive = ivf_topk(corpus, queries_df, k=10, n_centroids=16, n_probe=16)
+    exact = cosine_topk_blocked(corpus, queries_df, k=10)
+    cols = ["query_id", "vec_id", "cos", "rank"]
+    sym_diff = (
+        exhaustive.select(*cols).exceptAll(exact.select(*cols)).count()
+        + exact.select(*cols).exceptAll(exhaustive.select(*cols)).count()
+    )
+    return _topk_summary(
+        spark, approx, corpus, queries_df, 10, recall_bound=0.5,
+        extra={"exhaustive_identity_ok": int(sym_diff == 0)},
+    )
 
 
 def _q_embedding_near_dup(spark, sf_dir):
@@ -1673,24 +1697,26 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 def _q_embedding_near_dup_lsh(spark, sf_dir):
     # The sub-quadratic 100 TB path: banded hyperplane LSH candidates +
-    # exact verification. Approximate recall by construction, so no SQL
-    # oracle can hash-match it; precision is 1 (every emitted pair is
-    # exactly verified) and recall is tested statistically in pytest.
+    # exact verification (bucket-cap guarded — lshguard.py). Recall < 1
+    # by construction but deterministic, so the driver row is a one-row
+    # invariant summary the oracle CAN check: exact_pairs is recomputed
+    # by the SQL twin (the same all-pairs count as embedding_near_dup),
+    # subset_ok asserts every LSH pair is also an exact pair with the
+    # identical rounded cosine (precision 1), recall_ge_085 pins the
+    # measured recall (0.898/0.909 at sf0.01/sf0.001 with n_planes=8,
+    # n_bands=16, 1-bit multiprobe).
     from gms_spark.sim.ann import near_dup_blocked, near_dup_lsh
 
     corpus = _embeddings(spark, sf_dir)
     lsh = near_dup_lsh(corpus, threshold=0.4)
-    # global recall vs the exact blocked twin, measured in-engine: the
-    # rows-only record carries the number, not just a pytest threshold
     exact = near_dup_blocked(corpus, threshold=0.4)
-    num = lsh.join(exact.select("a", "b"), ["a", "b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("hits")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    hits = lsh.join(exact, ["a", "b", "cos"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_exact, int(hits == n_lsh), int(hits >= 0.85 * n_exact))],
+        "exact_pairs long, subset_ok long, recall_ge_085 long",
     )
-    den = exact.agg(F.count(F.lit(1)).alias("total"))
-    rec = num.crossJoin(den).select(
-        F.round(F.col("hits") / F.greatest(F.col("total"), F.lit(1)), 4).alias("recall")
-    )
-    return lsh.crossJoin(F.broadcast(rec))
 
 
 def _q_events_hourly(spark, sf_dir):
@@ -1920,12 +1946,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
-        # similarity search
+        # similarity search — the approximate tiers (ann_lsh, ann_ivf,
+        # embedding_near_dup_lsh) are checked as one-row invariant
+        # summaries: the oracle recomputes the exact side and asserts
+        # the in-engine-verified booleans (subset/recall-bound/
+        # exhaustive-identity) are 1
         "ann_topk": _q_ann_topk,
-        "ann_lsh": _q_ann_lsh,  # hyperplane LSH (float) — no SQL oracle
-        "ann_ivf": _q_ann_ivf,  # approximate recall — no SQL oracle (exhaustive-probe identity + recall in pytest)
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # approximate recall — no SQL oracle (precision verified in pytest)
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # multimodal: decode through the real pure-numpy codec seam
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
@@ -2155,6 +2185,25 @@ SELECT query_id, vec_id, cos, rnk FROM (
         "embedding_near_dup": f"""
 SELECT a.vec_id AS a, b.vec_id AS b,
   {_COS_SQL.format(A="a.embedding", B="b.embedding")} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(A="a.embedding", B="b.embedding")} >= 0.4""",
+        # Approximate-recall summaries: the oracle RECOMPUTES the exact
+        # side (n_queries / exact_pairs) and asserts the invariant
+        # columns are 1; the Spark side computes those invariants for
+        # real against its exact blocked-BLAS twin, so a hash mismatch
+        # = recall regression / incomplete top-k / wrong pair.
+        "ann_lsh": """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+  CAST(1 AS BIGINT) AS results_complete, CAST(1 AS BIGINT) AS recall_ge_07
+FROM embeddings WHERE vec_id % 50 = 0""",
+        "ann_ivf": """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+  CAST(1 AS BIGINT) AS results_complete, CAST(1 AS BIGINT) AS recall_ge_05,
+  CAST(1 AS BIGINT) AS exhaustive_identity_ok
+FROM embeddings WHERE vec_id % 50 = 0""",
+        "embedding_near_dup_lsh": f"""
+SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS recall_ge_085
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(A="a.embedding", B="b.embedding")} >= 0.4""",
         "events_hourly": """

@@ -34,6 +34,12 @@ All-pairs near-duplicate tiers, contract (a, b, cos) with a < b:
 
 Ties are broken by vec_id after rounding cos to 6 decimals, making
 top-k fully deterministic and engine-comparable.
+
+Both LSH tiers run their bucket joins through gms_spark/lshguard.py:
+over-cap (band, bucket) groups — the boilerplate-concentration failure
+mode of any real crawl — are routed through blocked/salted sub-joins
+with identical results, bounded per-task volume, and a logged cap
+decision.
 """
 
 from __future__ import annotations
@@ -214,35 +220,55 @@ def near_dup_lsh(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int = 8,
     n_bands: int = 16,
     seed: int = 5,
+    probes: int = 1,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded hyperplane LSH + exact verification.
 
     The sub-quadratic 100 TB path: n_bands independent sign-pattern
     bucketings of n_planes hyperplanes each; a pair is a candidate if it
     collides in ANY band (OR amplification), then verified with the
-    exact cosine. Candidate generation is n_bands equi-self-joins on
-    (band, bucket) — bucketed shuffle joins, never all-pairs. Recall < 1
-    by construction: P(candidate) = 1-(1-p^r)^b with p = 1-θ/π; with the
-    defaults a cos=0.8 pair is caught w.p. ~0.998, cos=0.5 ~0.92.
+    exact cosine.
+
+    Parameterization (with p = 1-θ/π the per-bit agreement prob):
+    n_planes=8 gives 2^8=256 buckets per band, so a UNIFORM corpus pays
+    ~N²/256 candidates per band — the old default of 4 planes (16
+    buckets) made candidate volume quadratic with a 1/16 constant,
+    untenable on any real corpus. Recall is restored by 1-bit
+    multiprobe (``probes=1``): each vector additionally probes every
+    Hamming-1 bucket one-directionally, so a band catches a pair iff
+    its sign patterns differ in ≤1 of the 8 bits:
+    P(band) = p^8 + 8·p^7·(1-p); over 16 bands a cos=0.8 pair is caught
+    w.p. ~0.99998 and cos=0.5 ~0.97 (vs 0.998/0.92 before — better
+    recall AND 16× fewer uniform-bucket candidates). ``probes=0``
+    disables multiprobe for the pure banding scheme.
+
+    Skew: boilerplate corpora concentrate embeddings into few buckets;
+    ``bucket_cap`` (default lshguard.DEFAULT_BUCKET_CAP) routes over-cap
+    buckets through blocked sub-joins — same pair set, bounded per-task
+    candidate volume, logged (gms_spark/lshguard.py).
     """
+    from gms_spark.lshguard import DEFAULT_BUCKET_CAP, capped_bucket_pairs
+
     base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    banded = None
-    for band in range(n_bands):
-        bb = lsh_buckets(base, "vec", n_planes=n_planes, seed=seed + 7919 * band).select(
-            "vid", F.lit(band).alias("band"), "bucket"
-        )
-        banded = bb if banded is None else banded.unionAll(bb)
-    x = banded.select(F.col("vid").alias("a"), "band", "bucket")
-    y = banded.select(F.col("vid").alias("b"), "band", "bucket")
-    cand = (
-        x.join(y, ["band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
+    # one fused Arrow pass for ALL bands (band b's planes are the same
+    # _hyperplanes(dim, n_planes, seed + 7919*b) the per-band loop used)
+    banded = lsh_memberships(base, "vid", "vec", n_planes, n_bands, seed, table_col="band")
+    probe_df = None
+    if probes > 0:
+        # full 1-bit multiprobe: one-directional (probe rows pair with
+        # originals, not with other probes — the lsh_topk convention)
+        flips = F.array(*[F.lit(1 << p) for p in range(n_planes)])
+        probe_df = banded.select(
+            "vid", "band", F.explode(flips.cast("array<long>")).alias("_f"), "bucket"
+        ).select("vid", "band", F.col("bucket").bitwiseXOR(F.col("_f")).alias("bucket"))
+    cap = DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap
+    cand = capped_bucket_pairs(
+        banded, "vid", ["band", "bucket"], cap=cap, probe_df=probe_df
+    ).dropDuplicates(["a", "b"])
     va = base.select(F.col("vid").alias("a"), F.col("vec").alias("vec_a"))
     vb = base.select(F.col("vid").alias("b"), F.col("vec").alias("vec_b"))
     verified = (
@@ -273,6 +299,45 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 5) -> np.ndarray:
     x = x ^ (x >> np.uint64(31))
     u = (x.astype(np.float64) / 2**64) * 2.0 - 1.0
     return u.reshape(n_planes, dim)
+
+
+def lsh_memberships(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 5,
+    table_col: str = "table",
+) -> DataFrame:
+    """(id, table, bucket) membership rows for n_tables independent
+    sign-pattern bucketings — ONE Arrow pass over the input (a single
+    stacked matmul against all tables' hyperplanes) instead of one
+    mapInPandas scan per table. Table t's planes are exactly
+    ``_hyperplanes(dim, n_planes, seed + 7919*t)``, so the buckets are
+    bit-identical to calling lsh_buckets per table."""
+    first = df.select(F.size(vec_col)).first()
+    dim = int(first[0])
+    H = np.concatenate(
+        [_hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)], axis=0
+    )  # (n_tables*n_planes, dim)
+    bh = df.sparkSession.sparkContext.broadcast(H)
+    weights = (1 << np.arange(n_planes - 1, -1, -1, dtype=np.int64))  # MSB-first like lsh_buckets
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H_ = bh.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (V @ H_.T) > 0  # (B, T*P)
+            signs = signs.reshape(len(pdf), n_tables, n_planes)
+            buckets = (signs.astype(np.int64) * weights).sum(axis=2)  # (B, T)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            tables = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            yield pd.DataFrame({id_col: ids, table_col: tables, "bucket": buckets.reshape(-1)})
+
+    return df.mapInPandas(run, f"{id_col} long, {table_col} int, bucket long")
 
 
 def lsh_buckets(df: DataFrame, vec_col: str, n_planes: int = 12, seed: int = 5) -> DataFrame:
@@ -306,26 +371,51 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 5,
     probes: int | None = None,
+    n_tables: int = 16,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """ANN: bucket join (equi-join on sign pattern) + exact in-bucket re-rank.
+    """ANN: multi-table LSH bucket join + exact candidate re-rank.
 
-    The scale path: corpus partitioned by bucket; each query probes its
-    own bucket plus (multiprobe) every Hamming-distance-1 bucket —
-    n_planes+1 probe rows per query, boosting recall dramatically for
-    near-boundary vectors at negligible corpus-side cost. Recall < 1 by
-    construction (tested statistically, not exact-matched).
+    The textbook multi-table design: ``n_tables`` INDEPENDENT
+    sign-pattern bucketings (per-table recall r compounds to
+    1-(1-r)^T), each probed at the query's own bucket plus (multiprobe)
+    every Hamming-distance-1 bucket. A single table forces the
+    recall-vs-bucket-count tradeoff (few planes = recall but ~2^4
+    buckets = quadratic candidate mass); multiple 2^8-bucket tables get
+    both.
+
+    Scale shape: the bucket join moves ONLY slim membership rows
+    (id, table, bucket) — the corpus vectors never ride the probe join;
+    candidates are deduplicated across tables first and the embeddings
+    are joined back once for the exact re-rank. Over-cap corpus buckets
+    (boilerplate concentration) are salted into ceil(B/cap) sub-buckets
+    — identical results, bounded per-task join volume, logged
+    (gms_spark/lshguard.py). Recall < 1 by construction (tested
+    statistically, not exact-matched).
     """
+    from gms_spark.lshguard import DEFAULT_BUCKET_CAP, salted_bucket_join
+
     if probes is None:
         probes = n_planes  # full 1-bit multiprobe by default
-    cb = lsh_buckets(corpus.select("vec_id", "embedding"), "embedding", n_planes, seed)
-    qb = lsh_buckets(queries.select("query_id", "qvec"), "qvec", n_planes, seed)
+    base = corpus.select("vec_id", "embedding")
+    qbase = queries.select("query_id", "qvec")
+    # one fused Arrow pass per side for ALL tables (not one scan per table)
+    cb = lsh_memberships(base, "vec_id", "embedding", n_planes, n_tables, seed)
+    qb = lsh_memberships(qbase, "query_id", "qvec", n_planes, n_tables, seed)
     if probes > 0:
         flips = F.array(*([F.lit(0)] + [F.lit(1 << p) for p in range(min(probes, n_planes))]))
         qb = qb.select(
-            "query_id", "qvec", "bucket", F.explode(flips.cast("array<long>")).alias("_f")
-        ).select("query_id", "qvec", F.col("bucket").bitwiseXOR(F.col("_f")).alias("bucket"))
+            "query_id", "table", "bucket", F.explode(flips.cast("array<long>")).alias("_f")
+        ).select("query_id", "table", F.col("bucket").bitwiseXOR(F.col("_f")).alias("bucket"))
+    cap = DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap
+    cand = (
+        salted_bucket_join(cb, qb, ["table", "bucket"], "vec_id", cap=cap)
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])  # across tables and probes
+    )
     joined = (
-        qb.join(cb, "bucket")
+        cand.join(base, "vec_id")
+        .join(F.broadcast(qbase), "query_id")
         .select(
             "query_id",
             "vec_id",
@@ -337,7 +427,6 @@ def lsh_topk(
                 6,
             ).alias("cos"),
         )
-        .dropDuplicates(["query_id", "vec_id"])  # multiprobe can hit a vec twice
     )
     return _rank_topk(joined, k)
 

@@ -191,6 +191,7 @@ def minhash_lsh_join(
     k: int = 3,
     seed: int = 7,
     text_col: str = "text",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidates + exact Jaccard verification.
 
@@ -198,7 +199,15 @@ def minhash_lsh_join(
     candidates; candidates are verified EXACTLY, so false positives cost
     only compute, and recall at J>=t is 1-(1-t^r)^b (≈0.995 at t=0.5
     with r=2,b=12). Entirely deterministic given (seed, num_hashes).
+
+    ``bucket_cap`` (default lshguard.DEFAULT_BUCKET_CAP): boilerplate-
+    heavy corpora concentrate near-identical signatures into giant
+    (band, bucket) groups; the guard routes over-cap buckets through
+    blocked sub-joins — SAME pair set, bounded per-task candidate
+    volume, cap decision logged. See gms_spark/lshguard.py.
     """
+    from gms_spark.lshguard import DEFAULT_BUCKET_CAP, capped_bucket_pairs
+
     sh = shingle_ids(docs, k, text_col).persist()  # one dictionary build for sigs AND verification
     sigs = minhash_signatures(docs, num_hashes, k, seed, text_col, sh=sh).persist()
     n_bands = num_hashes // band_rows
@@ -212,13 +221,8 @@ def minhash_lsh_join(
     bdf = bands[0]
     for b in bands[1:]:
         bdf = bdf.unionAll(b)
-    cands = (
-        bdf.alias("x")
-        .join(bdf.alias("y"), ["band", "bucket"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
+    cap = DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap
+    cands = capped_bucket_pairs(bdf, "doc_id", ["band", "bucket"], cap=cap).distinct()
     sets = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
     return _verified_pairs(cands, sets, threshold)
 
@@ -257,9 +261,22 @@ def simhash64(docs: DataFrame, k: int = 1, seed: int = 11, text_col: str = "text
 
 
 def simhash_near_dup(
-    docs: DataFrame, threshold: float = 0.5, n_bands: int = 4, k: int = 3, seed: int = 11, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_bands: int = 4,
+    k: int = 3,
+    seed: int = 11,
+    text_col: str = "text",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """SimHash-banded candidates (16-bit bands) + exact Jaccard verify."""
+    """SimHash-banded candidates (16-bit bands) + exact Jaccard verify.
+
+    16-bit bands give 2^16 buckets — boilerplate still concentrates, so
+    the ``bucket_cap`` guard (lshguard.py) bounds per-task candidate
+    volume on over-cap buckets without changing the pair set.
+    """
+    from gms_spark.lshguard import DEFAULT_BUCKET_CAP, capped_bucket_pairs
+
     sims = simhash64(docs, k=1, seed=seed, text_col=text_col)
     width = 64 // n_bands
     bands = []
@@ -274,13 +291,8 @@ def simhash_near_dup(
     bdf = bands[0]
     for b in bands[1:]:
         bdf = bdf.unionAll(b)
-    cands = (
-        bdf.alias("x")
-        .join(bdf.alias("y"), ["band", "bucket"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
+    cap = DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap
+    cands = capped_bucket_pairs(bdf, "doc_id", ["band", "bucket"], cap=cap).distinct()
     sh = shingle_ids(docs, k, text_col)
     sets = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
     return _verified_pairs(cands, sets, threshold)
@@ -294,6 +306,7 @@ def dedup_clusters(
     k: int = 3,
     seed: int = 7,
     text_col: str = "text",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTER resolution: LSH pairs → connected
     components → one canonical representative per cluster.
@@ -318,7 +331,7 @@ def dedup_clusters(
     """
     from gms_spark.graph.components import connected_components
 
-    pairs = minhash_lsh_join(docs, threshold, num_hashes, band_rows, k, seed, text_col)
+    pairs = minhash_lsh_join(docs, threshold, num_hashes, band_rows, k, seed, text_col, bucket_cap=bucket_cap)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
