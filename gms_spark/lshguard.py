@@ -114,8 +114,12 @@ def capped_bucket_pairs(
         stats["n_over"],
         stats["max_bsz"],
     )
-    # persisted only on the skewed path: feeds the small/big split twice
+    # persisted only on the skewed path: feeds the small/big split twice.
+    # Materialized eagerly so Catalyst sees the (small) cached size and
+    # plans broadcast/shuffled-hash joins against it instead of
+    # conservative sort-merge (audited in PLANS.md §11).
     sizes = sizes.persist()
+    sizes.count()
 
     withsz = bdf.join(sizes, key_cols)
     small = withsz.where(F.col("_bsz") <= cap).drop("_bsz")
