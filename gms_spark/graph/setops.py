@@ -109,7 +109,10 @@ def batch_intersect(rows_a, rows_b) -> tuple[np.ndarray, np.ndarray, np.ndarray]
         return z, np.zeros(n, dtype=np.int64), z.copy()
     A = np.concatenate(arrs_a)
     B = np.concatenate(arrs_b)
-    base = int(max(A.max(), B.max())) + 1
+    # shift to the min so the row-key trick also holds for negative
+    # values (vertex ids are non-negative, but the Set contract is not)
+    mn = int(min(A.min(), B.min()))
+    base = int(max(A.max(), B.max())) - mn + 1
     if base > 0 and n > (2**62) // base:  # key overflow guard (never at sandbox scale)
         vals_l, counts_l, rows_l = [], [], []
         for i in range(n):
@@ -124,8 +127,8 @@ def batch_intersect(rows_a, rows_b) -> tuple[np.ndarray, np.ndarray, np.ndarray]
         )
     row_a = np.repeat(np.arange(n, dtype=np.int64), la)
     row_b = np.repeat(np.arange(n, dtype=np.int64), lb)
-    AK = row_a * base + A
-    BK = row_b * base + B  # globally sorted: sorted within rows, rows disjoint
+    AK = row_a * base + (A - mn)
+    BK = row_b * base + (B - mn)  # globally sorted: sorted within rows, rows disjoint
     idx = np.searchsorted(BK, AK)
     ok = idx < len(BK)
     match = np.zeros(len(AK), dtype=bool)
