@@ -45,16 +45,13 @@ from gms_spark.text.dedup import PTOK, _minhash_coeffs
 
 
 def hashed_shingles(text_col: str = "text", k: int = 3):
-    """In-row distinct shingle-hash array — pure expressions, stream-safe."""
-    a = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    grams = F.when(
-        F.size(a) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(a) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(a, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(F.transform(grams, lambda s: F.pmod(F.xxhash64(s), F.lit(PTOK))))
+    """In-row distinct shingle-hash array — pure expressions, stream-safe.
+    Shares the batch tier's shingling expression (text/dedup.gram_array)."""
+    from gms_spark.text.dedup import gram_array
+
+    return F.array_distinct(
+        F.transform(gram_array(text_col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(PTOK)))
+    )
 
 
 def _with_bands(

@@ -47,17 +47,23 @@ def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).where(F.col("token") != "")
 
 
-def shingle_strings(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, sh_str) — distinct word-k-gram strings, JVM-side only."""
+def gram_array(text_col: str = "text", k: int = 3):
+    """In-row array<string> of word k-grams — the ONE shingling
+    expression every dedup tier shares (batch dictionary path here,
+    stateless streaming path in streaming/neardup.py)."""
     a = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    grams = F.when(
+    return F.when(
         F.size(a) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(a) - (k - 1)),
             lambda i: F.concat_ws(" ", F.slice(a, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(grams).alias("sh_str")).distinct()
+
+
+def shingle_strings(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh_str) — distinct word-k-gram strings, JVM-side only."""
+    return docs.select("doc_id", F.explode(gram_array(text_col, k)).alias("sh_str")).distinct()
 
 
 def shingle_dict(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
