@@ -58,6 +58,10 @@ def main() -> None:
     if ONLY is not None and os.path.exists(OUT_PATH):
         with open(OUT_PATH) as f:
             out.update(json.load(f))
+        # sections being rerun replace their old rows (resume after a
+        # mid-section crash would otherwise duplicate completed scales)
+        for sec in ONLY:
+            out[sec] = []
 
     # --- PageRank superstep throughput across R-MAT scales ----------------
     for scale in PR_SCALES if _want("pagerank") else []:

@@ -1712,7 +1712,16 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     exact = near_dup_blocked(corpus, threshold=0.4)
     n_exact = exact.count()
     n_lsh = lsh.count()
-    hits = lsh.join(exact, ["a", "b", "cos"], "left_semi").count()
+    # join on the id pair and compare the rounded cosines with a 2-ulp
+    # tolerance rather than joining on the float: the two paths sum the
+    # dot product in different float64 orders (expression fold vs BLAS),
+    # so a pair landing within ~1e-16 of a 0.5e-6 rounding boundary can
+    # round differently — an equality join would flake subset_ok on it
+    hits = (
+        lsh.join(exact.select("a", "b", F.col("cos").alias("_ec")), ["a", "b"])
+        .where(F.abs(F.col("cos") - F.col("_ec")) <= 2e-6)
+        .count()
+    )
     return spark.createDataFrame(
         [(n_exact, int(hits == n_lsh), int(hits >= 0.85 * n_exact))],
         "exact_pairs long, subset_ok long, recall_ge_085 long",

@@ -66,6 +66,12 @@ def capped_bucket_pairs(
     Hamming-1 multiprobe rows). A probe row (id, keys) pairs with every
     ORIGINAL row of the same bucket but not with other probes — exactly
     the probe-vs-corpus semantics of lsh_topk, applied to a self-join.
+    Probe concentration is capped independently of original-row
+    concentration: a bucket is over-cap if EITHER side exceeds ``cap``,
+    and the probe join is blocked on a ceil(P/cap) × ceil(O/cap) grid
+    (≤ cap² rows per cell) — probes inherit Hamming-1 fan-in from hot
+    neighbor buckets, so an originals-only gate would leave a P×cap
+    single-task join unbounded.
 
     Output invariant (tested): identical pair set to
         bdf.alias(x).join(bdf.alias(y), key_cols).where(x.id < y.id)
@@ -86,8 +92,16 @@ def capped_bucket_pairs(
     # on minhash_lsh_join. Skew-adaptive plan choice, AQE-style, with
     # the decision made from measured bucket sizes.
     sizes = bdf.groupBy(*kc).agg(F.count(F.lit(1)).alias("_bsz"))
-    stats = sizes.where(F.col("_bsz") > cap).agg(
-        F.count(F.lit(1)).alias("n_over"), F.coalesce(F.max("_bsz"), F.lit(0)).alias("max_bsz")
+    p_sizes = (
+        probe_df.groupBy(*kc).agg(F.count(F.lit(1)).alias("_psz"))
+        if probe_df is not None
+        else None
+    )
+    over = sizes.where(F.col("_bsz") > cap).select(F.col("_bsz").alias("_sz"))
+    if p_sizes is not None:
+        over = over.unionAll(p_sizes.where(F.col("_psz") > cap).select(F.col("_psz").alias("_sz")))
+    stats = over.agg(
+        F.count(F.lit(1)).alias("n_over"), F.coalesce(F.max("_sz"), F.lit(0)).alias("max_bsz")
     ).first()
     if not stats["n_over"]:
         xs0 = bdf.select(*key_cols, F.col(id_col).alias("_xa"))
@@ -162,36 +176,41 @@ def capped_bucket_pairs(
 
     if probe_df is not None:
         # Probe rows pair one-directionally with originals of the same
-        # bucket. Same small/big split keyed on ORIGINAL bucket sizes
-        # (probe fan-in rides the same blocked cells).
-        p_small = probe_df.join(sizes, key_cols).where(F.col("_bsz") <= cap).drop("_bsz")
-        pp = (
-            p_small.select(*key_cols, F.col(id_col).alias("_xa"))
-            .join(ys, key_cols)
-            .where(F.col("_xa") != F.col("_yb"))
-            .select(
-                F.least("_xa", "_yb").alias("a"), F.greatest("_xa", "_yb").alias("b")
-            )
+        # bucket — a BIPARTITE join blocked on BOTH sides: probes split
+        # into ceil(P/cap) hash blocks, originals into ceil(O/cap), and
+        # the grid join on (key, probe_block, orig_block) bounds every
+        # cell at ≤ cap² rows. Splitting only by original size would
+        # leave a P×cap single-task join when Hamming-1 fan-in from a
+        # hot neighbor bucket concentrates P probes on one key. Pair
+        # (p, o) meets in exactly the (pblk(p), oblk(o)) cell. Buckets
+        # with no originals drop in the inner join with `sizes` (no
+        # originals = nothing to pair).
+        p_sz = p_sizes.persist()
+        p_sz.count()
+        nbo = F.ceil(F.col("_bsz") / F.lit(float(cap))).cast("int")
+        nbp = F.ceil(F.col("_psz") / F.lit(float(cap))).cast("int")
+        ow = withsz.join(p_sz, key_cols)
+        oy = ow.select(
+            *key_cols,
+            F.col(id_col).alias("_yb"),
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), nbo).cast("int").alias("_ob"),
+            F.explode(F.sequence(F.lit(0), nbp - 1)).alias("_pb"),
         )
-        p_big = (
-            probe_df.join(sizes, key_cols)
-            .where(F.col("_bsz") > cap)
-            .withColumn("_nb", F.ceil(F.col("_bsz") / F.lit(float(cap))).cast("int"))
-        )
-        px = p_big.select(
+        pw = probe_df.join(sizes, key_cols).join(p_sz, key_cols)
+        px = pw.select(
             *key_cols,
             F.col(id_col).alias("_xa"),
-            F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)).alias("_pblk"),
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), nbp).cast("int").alias("_pb"),
+            F.explode(F.sequence(F.lit(0), nbo - 1)).alias("_ob"),
         )
-        pyy = bb.select(*key_cols, F.col(id_col).alias("_yb"), F.col("_blk").alias("_pblk"))
-        pbp = (
-            px.join(pyy, [*key_cols, "_pblk"])
+        probe_pairs = (
+            px.join(oy, [*key_cols, "_pb", "_ob"])
             .where(F.col("_xa") != F.col("_yb"))
             .select(
                 F.least("_xa", "_yb").alias("a"), F.greatest("_xa", "_yb").alias("b")
             )
         )
-        pairs = pairs.unionAll(pp).unionAll(pbp)
+        pairs = pairs.unionAll(probe_pairs)
     return pairs
 
 
@@ -203,18 +222,26 @@ def salted_bucket_join(
     cap: int = DEFAULT_BUCKET_CAP,
     seed: int = 0,
 ) -> DataFrame:
-    """Query-probe × corpus bucket join with over-cap corpus buckets
-    salted into ceil(B/cap) sub-buckets (query rows replicate across
-    the sub-buckets; corpus rows — which carry the fat vector columns —
-    are never replicated). Identical output rows to the naive
+    """Query-probe × corpus bucket join with per-bucket blocking on
+    BOTH sides: over-cap corpus buckets split into ceil(C/cap) salt
+    blocks, over-cap QUERY multiplicity (multiprobe fan-in concentrating
+    many probe rows on one bucket) into ceil(Q/cap) blocks, and the grid
+    join on (key, corpus_salt, query_salt) bounds every cell at ≤ cap²
+    input rows. Corpus rows — which carry the fat vector columns — are
+    replicated only across the query blocks of their own bucket
+    (≤ Q/cap copies, proportional to that bucket's output anyway).
+    Identical output rows to the naive
     ``query_b.join(corpus_b, key_cols)``."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    sizes = corpus_b.groupBy(*[F.col(c) for c in key_cols]).agg(
-        F.count(F.lit(1)).alias("_bsz")
+    kc = [F.col(c) for c in key_cols]
+    sizes = corpus_b.groupBy(*kc).agg(F.count(F.lit(1)).alias("_bsz"))
+    q_sizes = query_b.groupBy(*kc).agg(F.count(F.lit(1)).alias("_qsz"))
+    over = sizes.where(F.col("_bsz") > cap).select(F.col("_bsz").alias("_sz")).unionAll(
+        q_sizes.where(F.col("_qsz") > cap).select(F.col("_qsz").alias("_sz"))
     )
-    stats = sizes.where(F.col("_bsz") > cap).agg(
-        F.count(F.lit(1)).alias("n_over"), F.coalesce(F.max("_bsz"), F.lit(0)).alias("max_bsz")
+    stats = over.agg(
+        F.count(F.lit(1)).alias("n_over"), F.coalesce(F.max("_sz"), F.lit(0)).alias("max_bsz")
     ).first()
     if not stats["n_over"]:
         # healthy buckets: the plain join IS the bounded plan — don't
@@ -222,22 +249,36 @@ def salted_bucket_join(
         # capped_bucket_pairs)
         return query_b.join(corpus_b, key_cols)
     logger.warning(
-        "LSH probe-join cap %d engaged: %d over-cap corpus buckets, largest %d rows "
-        "— salting into sub-buckets (same results, bounded tasks).",
+        "LSH probe-join cap %d engaged: %d over-cap corpus/query bucket groups, largest %d rows "
+        "— salting into sub-bucket grid cells (same results, bounded tasks).",
         cap,
         stats["n_over"],
         stats["max_bsz"],
     )
     sizes = sizes.persist()
-    nb = F.ceil(F.col("_bsz") / F.lit(float(cap))).cast("int")
+    q_sizes = q_sizes.persist()
+    sizes.count()
+    q_sizes.count()
+    nbc = F.ceil(F.col("_bsz") / F.lit(float(cap))).cast("int")
+    nbq = F.ceil(F.col("_qsz") / F.lit(float(cap))).cast("int")
+    # a query row hashes its own block id from its full row (query_b
+    # frames carry no stable id column in general); corpus rows hash
+    # theirs from corpus_id — both uniform, both deterministic
     cs = (
         corpus_b.join(sizes, key_cols)
-        .withColumn("_salt", F.pmod(F.xxhash64(F.col(corpus_id), F.lit(seed)), nb).cast("int"))
-        .drop("_bsz")
+        .join(q_sizes, key_cols)
+        .withColumn("_cs", F.pmod(F.xxhash64(F.col(corpus_id), F.lit(seed)), nbc).cast("int"))
+        .withColumn("_qs", F.explode(F.sequence(F.lit(0), nbq - 1)))
+        .drop("_bsz", "_qsz")
     )
     qs = (
         query_b.join(sizes, key_cols)
-        .withColumn("_salt", F.explode(F.sequence(F.lit(0), nb - 1)))
-        .drop("_bsz")
+        .join(q_sizes, key_cols)
+        .withColumn(
+            "_qs",
+            F.pmod(F.xxhash64(*[F.col(c) for c in query_b.columns], F.lit(seed + 1)), nbq).cast("int"),
+        )
+        .withColumn("_cs", F.explode(F.sequence(F.lit(0), nbc - 1)))
+        .drop("_bsz", "_qsz")
     )
-    return qs.join(cs, [*key_cols, "_salt"]).drop("_salt")
+    return qs.join(cs, [*key_cols, "_cs", "_qs"]).drop("_cs", "_qs")

@@ -256,7 +256,10 @@ def near_dup_lsh(
     base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     # one fused Arrow pass for ALL bands (band b's planes are the same
     # _hyperplanes(dim, n_planes, seed + 7919*b) the per-band loop used)
-    banded = lsh_memberships(base, "vid", "vec", n_planes, n_bands, seed, table_col="band")
+    # persist: the guard's bucket-stats job plus each join branch read
+    # this table — without the cache every read redoes the full corpus
+    # hyperplane matmul (minhash_lsh_join persists its sigs the same way)
+    banded = lsh_memberships(base, "vid", "vec", n_planes, n_bands, seed, table_col="band").persist()
     probe_df = None
     if probes > 0:
         # full 1-bit multiprobe: one-directional (probe rows pair with
@@ -337,7 +340,8 @@ def lsh_memberships(
             tables = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
             yield pd.DataFrame({id_col: ids, table_col: tables, "bucket": buckets.reshape(-1)})
 
-    return df.mapInPandas(run, f"{id_col} long, {table_col} int, bucket long")
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.mapInPandas(run, f"{id_col} {id_type}, {table_col} int, bucket long")
 
 
 def lsh_buckets(df: DataFrame, vec_col: str, n_planes: int = 12, seed: int = 5) -> DataFrame:
@@ -400,7 +404,7 @@ def lsh_topk(
     base = corpus.select("vec_id", "embedding")
     qbase = queries.select("query_id", "qvec")
     # one fused Arrow pass per side for ALL tables (not one scan per table)
-    cb = lsh_memberships(base, "vec_id", "embedding", n_planes, n_tables, seed)
+    cb = lsh_memberships(base, "vec_id", "embedding", n_planes, n_tables, seed).persist()
     qb = lsh_memberships(qbase, "query_id", "qvec", n_planes, n_tables, seed)
     if probes > 0:
         flips = F.array(*([F.lit(0)] + [F.lit(1 << p) for p in range(min(probes, n_planes))]))

@@ -205,3 +205,60 @@ def test_lsh_topk_guard_same_results(spark):
         for r in lsh_topk(corpus, queries, k=5, bucket_cap=2).collect()
     }
     assert capped == base and base
+
+
+def test_probe_concentration_capped_and_identical(spark, skewed_membership):
+    """Many probe rows on a bucket whose ORIGINALS are under cap (the
+    Hamming-1 fan-in shape): the bipartite grid must engage (probe side
+    over cap), bound the blocks, and keep the pair set identical."""
+    # bucket (1, 3) holds ~7 originals (i % 9 == 3); aim 30 probes at it
+    probes = spark.createDataFrame(
+        [(200 + i, 1, 3) for i in range(30)], "doc_id long, band int, bucket long"
+    )
+    po = probes.select(F.col("doc_id").alias("pa"), "band", "bucket")
+    orig = skewed_membership.select(F.col("doc_id").alias("pb"), "band", "bucket")
+    naive = _naive_pairs(skewed_membership) | {
+        (min(r["pa"], r["pb"]), max(r["pa"], r["pb"]))
+        for r in po.join(orig, ["band", "bucket"]).where(F.col("pa") != F.col("pb")).collect()
+    }
+    for cap in (5, 1000, 10**6):
+        got = {
+            (r["a"], r["b"])
+            for r in capped_bucket_pairs(
+                skewed_membership, "doc_id", ["band", "bucket"], cap=cap, probe_df=probes
+            )
+            .distinct()
+            .collect()
+        }
+        assert got == naive, cap
+
+
+def test_probe_concentration_engages_guard(spark, skewed_membership, caplog):
+    """Probe-side over-cap alone (originals all under cap) must flip the
+    plan off the fast path — an originals-only gate would leave a P x cap
+    single-task join."""
+    small = skewed_membership.where((F.col("band") == 1))  # all band-1 buckets <= 7 rows
+    probes = spark.createDataFrame(
+        [(300 + i, 1, 3) for i in range(25)], "doc_id long, band int, bucket long"
+    )
+    with caplog.at_level(logging.WARNING, logger="gms_spark.lshguard"):
+        capped_bucket_pairs(small, "doc_id", ["band", "bucket"], cap=8, probe_df=probes).count()
+    assert any("engaged" in r.message for r in caplog.records)
+
+
+def test_salted_join_query_concentration_identical(spark):
+    """Query multiplicity over cap on an under-cap corpus bucket: the
+    two-sided grid must engage and produce identical rows."""
+    corpus = spark.createDataFrame(
+        [(i, 7 if i < 5 else i % 4) for i in range(20)], "vec_id long, bucket long"
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, 7) for i in range(30)] + [(900, 2)], "query_id long, bucket long"
+    )
+    naive = {(r["query_id"], r["vec_id"]) for r in queries.join(corpus, "bucket").collect()}
+    for cap in (3, 1000):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in salted_bucket_join(corpus, queries, ["bucket"], "vec_id", cap=cap).collect()
+        }
+        assert got == naive, cap
