@@ -1355,7 +1355,11 @@ def _q_pagerank_hosts(spark, sf_dir):
     from gms_spark.graph.pagerank import pagerank
 
     hg = collapse_vertices(doc_graph_directed(spark, sf_dir), _hosts_mapping(spark, sf_dir))
-    res = pagerank(hg, fixed_iters=PR_ITERS)
+    # check_every=PR_ITERS: all 12 supersteps chain lazily into one job
+    # (same chunked path _q_pagerank uses — the host graph is tiny, so
+    # the former 12 per-superstep jobs were pure scheduler overhead);
+    # per-superstep float op order is unchanged, scores bit-identical.
+    res = pagerank(hg, fixed_iters=PR_ITERS, check_every=PR_ITERS)
     return res.scores.select(
         F.col("vertex").alias("host"), F.round("score", 8).alias("score")
     )
@@ -1716,9 +1720,14 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     # tolerance rather than joining on the float: the two paths sum the
     # dot product in different float64 orders (expression fold vs BLAS),
     # so a pair landing within ~1e-16 of a 0.5e-6 rounding boundary can
-    # round differently — an equality join would flake subset_ok on it
+    # round differently — an equality join would flake subset_ok on it.
+    # The SUBSET side joins an exact frame recomputed at threshold-2e-6:
+    # a pair straddling the 0.4 boundary between the two float orders is
+    # then still found on the exact side instead of flipping subset_ok
+    # (exact_pairs itself stays pinned at the oracle's 0.4).
+    exact_sub = near_dup_blocked(corpus, threshold=0.4 - 2e-6)
     hits = (
-        lsh.join(exact.select("a", "b", F.col("cos").alias("_ec")), ["a", "b"])
+        lsh.join(exact_sub.select("a", "b", F.col("cos").alias("_ec")), ["a", "b"])
         .where(F.abs(F.col("cos") - F.col("_ec")) <= 2e-6)
         .count()
     )

@@ -29,7 +29,17 @@ words buffer for a batch is Σ ceil(range_i/64), never n_rows × |V|/64.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
+
+# pack/unpack view uint64 words as bytes (words.view(np.uint8) +
+# unpackbits(bitorder='little')) — that layout equivalence assumes a
+# little-endian host; on a big-endian one the round trip would return
+# wrong values silently. Every supported target is little-endian; fail
+# loudly rather than corrupt sets if that ever changes.
+if sys.byteorder != "little":  # pragma: no cover
+    raise ImportError("gms_spark.graph.bitset requires a little-endian host")
 
 _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 

@@ -224,7 +224,15 @@ def edges_from_pages(pages: DataFrame, keep_external: bool = False) -> tuple[Dat
         .agg(F.count("*").alias("degree"))
     )
     all_urls = urls.join(deg, "url", "left").fillna(0, ["degree"])
-    url_dict = assign_dense_ids(all_urls, [F.col("degree").desc(), F.col("url").asc()]).select("url", "id")
+    # materialize the (slim) dictionary once: the edge join consumes it
+    # TWICE (src and dst side) and its id-assignment tail is an Arrow
+    # mapInPandas stage — left lazy, that Python stage runs once per
+    # consumer (and a third time for any caller using url_dict itself)
+    url_dict = (
+        assign_dense_ids(all_urls, [F.col("degree").desc(), F.col("url").asc()])
+        .select("url", "id")
+        .localCheckpoint(eager=True)
+    )
 
     e = (
         links.join(url_dict.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src"), "src_url")

@@ -539,7 +539,14 @@ def elkin(
         d_fp = _elkin_dnext_fp(d_fp, ed, t_fp)
         salt = _round_salt(i, seed)
         unc = state.where(F.col("color").isNull()).select("vertex")
-        used = _used_rows(edges, state, only=unc)  # rows, never arrays
+        # Materialize the neighbor-held-color rows ONCE per round: the
+        # lazy frame is referenced twice (the m-count window and samp's
+        # palette anti-join), and samp itself twice more (the lower-id
+        # conflict side and the commit) — left lazy, the edges⋈state
+        # exchange re-executed up to 4× per round (Spark DataFrames have
+        # no cross-branch common-subexpression elimination). One extra
+        # small job per round, same rows, bit-identical coloring.
+        used = _used_rows(edges, state, only=unc).localCheckpoint(eager=True)
         # |used(v)| via dense_rank + max, NOT countDistinct: the window
         # exchanges on vertex once and the groupBy(vertex) after it
         # reuses that partitioning (no second exchange, no separate
@@ -570,6 +577,9 @@ def elkin(
             .select("vertex", "c")
             # palette(v) excludes neighbor-held colors (was ~array_contains)
             .join(used.select("vertex", F.col("u").alias("c")), ["vertex", "c"], "left_anti")
+            # referenced by BOTH the conflict side (lower) and the commit
+            # (avail) — materialize once (see the `used` note above)
+            .localCheckpoint(eager=True)
         )
         # drop colors also sampled by a LOWER-id neighbor (:84-112) — a
         # row-level anti-join (was a flatten(collect_list) hub array)

@@ -126,15 +126,59 @@ def connected_components(
         return fused, obs
 
     if io is None and check_every > 1:
+        # Fast path, PageRank-shaped. The hook ("new = least(old, cand)")
+        # is folded into the min-exchange by adding STATIC self-loops to
+        # the edge table: min over {own label} ∪ {neighbor labels} is the
+        # hooked label, so one round references the incoming labels
+        # exactly ONCE (join + groupBy-min — same as a PR superstep).
+        # That makes check_every-deep lazy chaining recompute-free
+        # (the old round referenced labels ~4×: exchange, hook join and
+        # the compress self-join — a k-deep chain re-executed ~4^k state
+        # subtrees, the measured reason check_every=5 ran 10-20× slower
+        # than 3). Pointer jumping moves to the CHUNK BOUNDARY, where the
+        # state is a materialized checkpoint: labels[labels[v]] is then a
+        # cheap two-scan join, applied lazily as the next chunk's input —
+        # same O(log n) chain shortcutting, zero per-round cost. The
+        # fixpoint (label = min vertex id of the component) is identical.
+        # Like PageRank's ew, the self-looped edge table is repartitioned
+        # by src ONCE and persisted with its partitioning metadata, so
+        # per-round joins shuffle only the (slim) label side.
+        num_partitions = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        loops = verts.select(
+            F.col("vertex").alias("src"), F.col("vertex").alias("dst")
+        )
+        if salted:
+            loops = loops.withColumn("_salt", F.lit(0).cast("int"))
+        ep = (
+            edges.select("src", "dst", *salted)
+            .unionAll(loops)
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        ep.count()
+
+        def fast_round(labels: DataFrame) -> DataFrame:
+            cand = (
+                ep.join(labels.withColumnRenamed("vertex", "src"), "src")
+                .groupBy(F.col("dst").alias("vertex"), *salted)
+                .agg(F.min("component").alias("component"))
+            )
+            if salted:
+                cand = cand.groupBy("vertex").agg(F.min("component").alias("component"))
+            return cand
+
         labels = labels0.persist()
         labels.count()
+        chain_in = labels
         done = 0
         while done < max_iters:
             k = min(check_every, max_iters - done)
-            new = labels
+            new = chain_in
             for _ in range(k):
-                new = one_round(new)
-            new, obs = _fuse_changed(new, labels)
+                new = fast_round(new)
+            new, obs = _fuse_changed(new, chain_in)
             new = new.localCheckpoint(eager=True)
             done += k
             ch = int(obs.get["delta"] or 0)
@@ -142,6 +186,19 @@ def connected_components(
             labels = new
             if ch == 0:
                 break
+            chain_in = labels
+            if compress:
+                # boundary pointer jump over the checkpointed state —
+                # lazy: it runs inside the next chunk's job (and the
+                # boundary fuse), each a join of two checkpoint scans.
+                parent = labels.select(
+                    F.col("vertex").alias("component"), F.col("component").alias("grand")
+                )
+                chain_in = labels.join(parent, "component", "left").select(
+                    "vertex",
+                    F.coalesce(F.col("grand"), F.col("component")).alias("component"),
+                )
+        ep.unpersist()
         return ComponentsResult(labels, done)
 
     def step(labels: DataFrame, i: int) -> tuple[DataFrame, object]:

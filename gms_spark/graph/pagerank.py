@@ -55,7 +55,7 @@ def pagerank(
     run_id: str | None = None,
     hub_salt_threshold: int | None = None,
     num_partitions: int | None = None,
-    check_every: int = 1,
+    check_every: int | None = None,
     start_scores: DataFrame | None = None,
 ) -> PageRankResult:
     """See module docstring.
@@ -70,6 +70,14 @@ def pagerank(
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if check_every is None:
+        # fixed-iteration runs need no convergence read-back, so chain
+        # every superstep lazily into one job by default (a superstep
+        # references the scores exactly once — join + groupBy — so the
+        # chain is recompute-free; capped so Catalyst's plan stays
+        # bounded for very long runs). tol runs keep per-superstep
+        # checks unless the caller opts into chunking.
+        check_every = min(fixed_iters, 25) if fixed_iters is not None else 1
 
     # materialize the edge input for the preamble: the vertex-stats and
     # SpMV-matrix jobs each re-scan it, and a lazy upstream plan

@@ -231,7 +231,22 @@ def salted_bucket_join(
     replicated only across the query blocks of their own bucket
     (≤ Q/cap copies, proportional to that bucket's output anyway).
     Identical output rows to the naive
-    ``query_b.join(corpus_b, key_cols)``."""
+    ``query_b.join(corpus_b, key_cols)``.
+
+    Caveats:
+      * ``query_b`` rows should be DISTINCT: the query-side block id is
+        a hash of the full query row (query frames carry no stable id
+        column in general), so duplicate rows collapse into one block
+        and the ≤cap² per-cell bound degrades toward dup_count × cap
+        (results stay correct — only the skew bound weakens). Current
+        callers (sim/ann.py probes) emit distinct rows.
+      * On the engaged path the sizes/q_sizes frames stay persisted —
+        they feed the returned LAZY plan, so there is no safe point to
+        unpersist them here. Long-lived sessions issuing many engaged
+        joins should clear them once the returned rows are materialized
+        (spark.catalog.clearCache(), or unpersist the caller's handles);
+        one-shot queries are cleaned up by session teardown. Same note
+        applies to capped_bucket_pairs' engaged path."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     kc = [F.col(c) for c in key_cols]

@@ -419,7 +419,10 @@ def lsh_topk(
     )
     joined = (
         cand.join(base, "vec_id")
-        .join(F.broadcast(qbase), "query_id")
+        # no forced broadcast: a large query set with fat vectors can
+        # exceed the broadcast cap / driver memory — let Catalyst/AQE
+        # pick (it still broadcasts when qbase's measured size is small)
+        .join(qbase, "query_id")
         .select(
             "query_id",
             "vec_id",

@@ -28,20 +28,31 @@ across emissions without a state store); compose with
 streaming.dedup.stream_dedup on (doc_id, corpus_id) for exactly-once
 flags with watermark-bounded state, or .dropDuplicates in batch mode.
 
-At 100 TB: the index is corpus_rows × n_bands slim rows plus one
-shingle-hash array per doc — partition/persist it once and every
-micro-batch joins against it; bucket skew on the STATIC side is the
-same boilerplate-concentration risk as the batch tier (lshguard.py) —
-monitor bucket sizes with the same sizing query when indexing a
-boilerplate-heavy corpus.
+At 100 TB: the index is corpus_rows × n_bands SLIM band rows plus ONE
+shingle-hash array per doc (NearDupIndex.bands / .shingles) —
+partition/persist it once and every micro-batch joins against it.
+Bucket skew on the static side — the batch tier's boilerplate-
+concentration risk (lshguard.py) — is capped at INDEX TIME: bucket
+sizes are a property of the corpus, so over-cap buckets are pre-split
+into ceil(B/cap) salt blocks and each micro-batch probe explodes over
+its bucket's salt range (stateless; the per-batch sizing job the batch
+guard runs is never needed). Residual risk is stream-side only: a
+micro-batch that itself concentrates S probes on one bucket still pays
+S × cap rows on that key — bound S by trigger sizing, which is the
+stream operator's admission knob.
 """
 
 from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gms_spark.text.dedup import PTOK, _minhash_coeffs
+
+logger = logging.getLogger("gms_spark.streaming.neardup")
 
 
 def hashed_shingles(text_col: str = "text", k: int = 3):
@@ -82,6 +93,50 @@ def _with_bands(
     )
 
 
+@dataclass
+class NearDupIndex:
+    """Static corpus index for the streaming near-dup join.
+
+    ``bands``:    (corpus_id, band, bucket, _salt) — SLIM band
+                  memberships (no shingle arrays), with over-cap buckets
+                  split into ``ceil(B/cap)`` deterministic salt blocks
+                  at INDEX TIME — the lshguard cap for the one LSH join
+                  whose stats job cannot run per micro-batch (bucket
+                  sizes are a property of the static side, frozen here).
+    ``shingles``: (corpus_id, sh) — the verify-side shingle-hash array,
+                  stored ONCE per doc (the pre-r6 index duplicated it
+                  per band row: n_bands× the array bytes in every
+                  bucket-join task).
+    ``blocks``:   (band, bucket, _nb) for over-cap buckets only; the
+                  stream side explodes its probe row over 0.._nb-1 so a
+                  probe meets every salt block of its bucket.
+    ``cap``:      the per-(band,bucket,salt) corpus-row bound.
+    """
+
+    bands: DataFrame
+    shingles: DataFrame
+    blocks: DataFrame
+    cap: int
+
+    def persist(self) -> "NearDupIndex":
+        self.bands.persist()
+        self.shingles.persist()
+        self.blocks.persist()
+        return self
+
+    def count(self) -> int:
+        n = self.bands.count()
+        self.shingles.count()
+        self.blocks.count()
+        return n
+
+    def unpersist(self) -> "NearDupIndex":
+        self.bands.unpersist()
+        self.shingles.unpersist()
+        self.blocks.unpersist()
+        return self
+
+
 def near_dup_index(
     corpus: DataFrame,
     num_hashes: int = 24,
@@ -89,16 +144,59 @@ def near_dup_index(
     k: int = 3,
     seed: int = 7,
     text_col: str = "text",
-) -> DataFrame:
-    """Static index over the reference corpus: (corpus_id, sh, band,
-    bucket). Build once, persist, hand to stream_near_dup_pairs —
-    every micro-batch joins against it."""
-    return _with_bands(corpus, "corpus_id", num_hashes, band_rows, k, seed, text_col)
+    bucket_cap: int | None = None,
+) -> NearDupIndex:
+    """Static index over the reference corpus — build once, persist, hand
+    to stream_near_dup_pairs; every micro-batch joins against it.
+
+    Boilerplate-heavy corpora concentrate near-identical band signatures
+    into giant buckets; unguarded, every stream doc colliding with such a
+    bucket fans its B candidate rows (each carrying a fat shingle array)
+    into ONE task per key. The batch guard's sizing job cannot run per
+    micro-batch, but it does not need to: corpus bucket sizes are known
+    NOW. Over-cap buckets are split into ceil(B/cap) salt blocks keyed by
+    a deterministic hash of corpus_id (the capped_bucket_pairs block
+    rule), and the shingle arrays move out of the band rows entirely —
+    the bucket join ships slim (id, band, bucket, salt) rows and the
+    verify fetches each array once via an equi-join on corpus_id."""
+    from gms_spark.lshguard import DEFAULT_BUCKET_CAP
+
+    cap = DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap
+    if cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1, got {cap}")
+    b = _with_bands(corpus, "corpus_id", num_hashes, band_rows, k, seed, text_col)
+    shingles = b.where(F.col("band") == 0).select("corpus_id", "sh")
+    slim = b.select("corpus_id", "band", "bucket")
+    blocks = (
+        slim.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > cap)
+        .select(
+            "band",
+            "bucket",
+            F.ceil(F.col("_bsz") / F.lit(float(cap))).cast("int").alias("_nb"),
+        )
+    )
+    bands = (
+        slim.join(blocks, ["band", "bucket"], "left")
+        .select(
+            "corpus_id",
+            "band",
+            "bucket",
+            F.when(
+                F.col("_nb").isNotNull(),
+                F.pmod(F.xxhash64("corpus_id"), F.col("_nb")).cast("int"),
+            )
+            .otherwise(F.lit(0))
+            .alias("_salt"),
+        )
+    )
+    return NearDupIndex(bands=bands, shingles=shingles, blocks=blocks, cap=cap)
 
 
 def stream_near_dup_pairs(
     stream: DataFrame,
-    index: DataFrame,
+    index: NearDupIndex,
     threshold: float = 0.5,
     num_hashes: int = 24,
     band_rows: int = 2,
@@ -111,11 +209,30 @@ def stream_near_dup_pairs(
 
     Works identically on a batch DataFrame (the batch twin used by the
     equality tests); ``index`` must come from near_dup_index with the
-    same (num_hashes, band_rows, k, seed)."""
+    same (num_hashes, band_rows, k, seed).
+
+    Guarded join shape: a probe row left-joins the (tiny, static)
+    over-cap block table and explodes over its bucket's 0.._nb-1 salt
+    range (no blocks row → one salt 0 row — the fast path adds nothing),
+    then equi-joins the slim salted index on (band, bucket, _salt): each
+    join cell holds ≤ cap corpus rows, and the corpus shingle arrays
+    enter only per matched candidate via the corpus_id join. All ops are
+    stateless (explode + stream-static joins), so the plan stays legal
+    in a micro-batch with no watermark."""
     sb = _with_bands(stream, "doc_id", num_hashes, band_rows, k, seed, text_col).withColumnRenamed(
         "sh", "sh_s"
     )
-    joined = sb.join(index.withColumnRenamed("sh", "sh_c"), ["band", "bucket"])
+    probes = (
+        sb.join(index.blocks, ["band", "bucket"], "left")
+        .withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_nb"), F.lit(1)) - 1)),
+        )
+        .drop("_nb")
+    )
+    joined = probes.join(index.bands, ["band", "bucket", "_salt"]).join(
+        index.shingles.withColumnRenamed("sh", "sh_c"), "corpus_id"
+    )
     inter = F.size(F.array_intersect("sh_s", "sh_c"))
     un = F.size("sh_s") + F.size("sh_c") - inter
     return (

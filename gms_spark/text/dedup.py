@@ -107,8 +107,26 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _verified_pairs(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
-    """Exact-verify candidate (a,b) pairs against full shingle sets."""
+def _verified_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-verify candidate (a,b) pairs against full shingle sets.
+
+    ``sh`` is the exploded (doc_id, shingle) table. The candidate set is
+    materialized once (it feeds the id projection AND the verify join),
+    and the per-doc shingle ARRAYS are aggregated only for docs that
+    actually appear in a candidate pair — at corpus scale the candidate
+    mass is ∝ duplicates, so the heavy collect_list/array_sort pass must
+    not run over the whole corpus (it previously did)."""
+    cands = cands.localCheckpoint(eager=True)
+    ids = (
+        cands.select(F.col("a").alias("doc_id"))
+        .unionAll(cands.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
+    )
     sa = sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     j = cands.join(sa, "a").join(sb, "b")
@@ -132,6 +150,11 @@ def jaccard_join(docs: DataFrame, threshold: float = 0.8, k: int = 3, text_col: 
     skew mitigation.
     """
     sh = shingle_ids(docs, k, text_col).persist()
+    # Eager: freq/ordered/sizes/prefix(×2)/verify all reference sh — left
+    # lazy, the branches of the one big candidate job race to fill the
+    # cache and each re-runs the dictionary join (incl. its mapInPandas
+    # id-assignment stage) instead of reading it.
+    sh.count()
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ordered = (
         sh.join(freq, "shingle")
@@ -142,6 +165,9 @@ def jaccard_join(docs: DataFrame, threshold: float = 0.8, k: int = 3, text_col: 
         ordered.join(sizes, "doc_id")
         .where(F.col("r") <= F.floor((1.0 - threshold) * F.col("sz")) + 1)
         .select("doc_id", "shingle")
+        # both self-join sides scan the prefix table; materialized once
+        # (its frequency window + size join would otherwise run twice)
+        .localCheckpoint(eager=True)
     )
     cands = (
         prefix.alias("x")
@@ -150,9 +176,7 @@ def jaccard_join(docs: DataFrame, threshold: float = 0.8, k: int = 3, text_col: 
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
-    out = _verified_pairs(cands, sets, threshold)
-    return out
+    return _verified_pairs(cands, sh, threshold)
 
 
 def _minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
@@ -217,20 +241,24 @@ def minhash_lsh_join(
     sh = shingle_ids(docs, k, text_col).persist()  # one dictionary build for sigs AND verification
     sigs = minhash_signatures(docs, num_hashes, k, seed, text_col, sh=sh).persist()
     n_bands = num_hashes // band_rows
-    bands = []
+    # One in-row explode instead of an n_bands-way unionAll of selects:
+    # the union scanned the cached signature table once PER BAND per
+    # consumer (guard sizing + both self-join sides = 3 consumers × 12
+    # bands = 36 scans); the explode reads it once per consumer. Same
+    # (doc_id, band, bucket) row set.
+    band_structs = []
     for bi in range(n_bands):
         cols = [F.col(f"m{bi * band_rows + r}") for r in range(band_rows)]
         acc = cols[0]
         for c in cols[1:]:
             acc = (acc * F.lit(131071) + c) % F.lit(PTOK)
-        bands.append(sigs.select("doc_id", F.lit(bi).alias("band"), acc.alias("bucket")))
-    bdf = bands[0]
-    for b in bands[1:]:
-        bdf = bdf.unionAll(b)
+        band_structs.append(F.struct(F.lit(bi).cast("int").alias("band"), acc.alias("bucket")))
+    bdf = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("_bb")).select(
+        "doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
     cap = DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap
     cands = capped_bucket_pairs(bdf, "doc_id", ["band", "bucket"], cap=cap).distinct()
-    sets = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
-    return _verified_pairs(cands, sets, threshold)
+    return _verified_pairs(cands, sh, threshold)
 
 
 def simhash64(docs: DataFrame, k: int = 1, seed: int = 11, text_col: str = "text") -> DataFrame:
@@ -283,25 +311,31 @@ def simhash_near_dup(
     """
     from gms_spark.lshguard import DEFAULT_BUCKET_CAP, capped_bucket_pairs
 
-    sims = simhash64(docs, k=1, seed=seed, text_col=text_col)
+    # persist: the guard's sizing pass and both self-join sides scan the
+    # banded frame; without the cache each scan re-runs the Arrow-batched
+    # simhash stage (same persist policy as minhash_lsh_join's sigs).
+    sims = simhash64(docs, k=1, seed=seed, text_col=text_col).persist()
     width = 64 // n_bands
-    bands = []
-    for bi in range(n_bands):
-        bands.append(
-            sims.select(
-                "doc_id",
-                F.lit(bi).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"),
-            )
+    # In-row explode, not an n_bands-way unionAll: one pass over the
+    # simhash table per consumer (see minhash_lsh_join). The simhash
+    # computation is an Arrow-batched mapInPandas — scanning it once per
+    # band would re-run the Python stage n_bands× per consumer.
+    band_structs = [
+        F.struct(
+            F.lit(bi).cast("int").alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), bi * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bucket"),
         )
-    bdf = bands[0]
-    for b in bands[1:]:
-        bdf = bdf.unionAll(b)
+        for bi in range(n_bands)
+    ]
+    bdf = sims.select("doc_id", F.explode(F.array(*band_structs)).alias("_bb")).select(
+        "doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
     cap = DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap
     cands = capped_bucket_pairs(bdf, "doc_id", ["band", "bucket"], cap=cap).distinct()
     sh = shingle_ids(docs, k, text_col)
-    sets = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
-    return _verified_pairs(cands, sets, threshold)
+    return _verified_pairs(cands, sh, threshold)
 
 
 def dedup_clusters(
@@ -338,6 +372,11 @@ def dedup_clusters(
     from gms_spark.graph.components import connected_components
 
     pairs = minhash_lsh_join(docs, threshold, num_hashes, band_rows, k, seed, text_col, bucket_cap=bucket_cap)
+    # The pair table feeds the symmetrizing union TWICE; left lazy, the
+    # whole LSH+verify pipeline would execute once per branch (measured
+    # ~13 s per execution at sf0.1 — dedup_clusters was paying it twice).
+    # Materialize the (small, ∝ duplicate mass) pair set exactly once.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )

@@ -35,10 +35,10 @@ def test_batch_flags_match_bruteforce_oracle(spark):
     sh = hashed_shingles("text", 3)
     s = docs.select(F.col("doc_id"), sh.alias("sh_s"))
     c = corpus.select(F.col("doc_id").alias("corpus_id"), sh.alias("sh_c"))
-    bands_s = near_dup_index(docs).groupBy(F.col("corpus_id").alias("doc_id")).agg(
+    bands_s = near_dup_index(docs).bands.groupBy(F.col("corpus_id").alias("doc_id")).agg(
         F.collect_set(F.struct("band", "bucket")).alias("bb_s")
     )
-    bands_c = near_dup_index(corpus).groupBy("corpus_id").agg(
+    bands_c = near_dup_index(corpus).bands.groupBy("corpus_id").agg(
         F.collect_set(F.struct("band", "bucket")).alias("bb_c")
     )
     inter = F.size(F.array_intersect("sh_s", "sh_c"))
@@ -81,3 +81,37 @@ def test_stream_matches_batch(spark, tmp_path):
     stream_pairs = _pairs(spark.sql("SELECT DISTINCT * FROM neardup_stream"))
     idx.unpersist()
     assert stream_pairs == batch_pairs and batch_pairs
+
+
+def test_index_guard_bounds_bucket_cells(spark):
+    """Boilerplate concentration: 40 corpus docs sharing one band
+    signature must not form a single B-row bucket cell. With cap=8 the
+    index pre-splits the bucket into ceil(40/8)=5 salt blocks (≤8 corpus
+    rows per (band,bucket,salt) cell), the stream probe explodes over
+    the salt range, and the flagged pair set is IDENTICAL to an
+    unguarded (cap=10^9) run."""
+    boiler = [(i, "terms of service all rights reserved contact us privacy policy") for i in range(40)]
+    corpus = spark.createDataFrame(boiler + CORPUS[2:], "doc_id long, text string")
+    docs = spark.createDataFrame(STREAM, "doc_id long, text string")
+
+    idx = near_dup_index(corpus, bucket_cap=8).persist()
+    idx.count()
+    # every (band, bucket, _salt) cell is bounded near the cap — the
+    # block id is a uniform hash (≈B/nb rows per block in expectation,
+    # not a worst-case partition), so allow 2×cap; the unguarded cell
+    # would hold all 40 rows
+    cell_max = (
+        idx.bands.groupBy("band", "bucket", "_salt").count().agg(F.max("count")).first()[0]
+    )
+    assert cell_max <= 16 < 40
+    # the boilerplate bucket really is over-cap (guard engaged, 5 blocks)
+    assert idx.blocks.where(F.col("_nb") == 5).count() > 0
+    # shingle arrays are stored once per doc, not once per band row
+    assert idx.shingles.count() == corpus.count()
+    got = _pairs(stream_near_dup_pairs(docs, idx, threshold=0.5).dropDuplicates())
+
+    unguarded = near_dup_index(corpus, bucket_cap=1 << 30).persist()
+    want = _pairs(stream_near_dup_pairs(docs, unguarded, threshold=0.5).dropDuplicates())
+    idx.unpersist()
+    unguarded.unpersist()
+    assert got == want and want  # same pairs, and the fixture does flag
