@@ -196,6 +196,70 @@ def assign_dense_ids(df: DataFrame, order_cols: list, id_col: str = "id", num_pa
     return ranged.mapInPandas(add_ids, out_schema)
 
 
+def dense_rank_ids(
+    df: DataFrame, key: str, id_col: str = "id", num_partitions: int | None = None
+) -> DataFrame:
+    """Dense ids 0..V-1 of ``key``'s DISTINCT values in ascending order,
+    attached to EVERY row (== dense_rank() OVER (ORDER BY key) - 1) —
+    scalably, like assign_dense_ids but for tables WITH duplicates.
+
+    assign_dense_ids + join-back would pay a distinct exchange over the
+    key universe PLUS a key-typed (often string) join against the full
+    table; this computes the same ids in one range shuffle: range-
+    repartition on the key (equal keys provably co-locate — the range
+    partitioner assigns by boundary comparison), per-partition DISTINCT
+    counts (a small aggregate), broadcast offsets, then per-partition
+    factorize inside an Arrow batch. O(rows/p) per task, no driver data.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(key).asc())
+        .sortWithinPartitions(F.col(key).asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.persist()
+    counts = {
+        int(r["_pid"]): int(r["cnt"])
+        for r in ranged.groupBy("_pid").agg(F.countDistinct(key).alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out_schema = ranged.drop("_pid").schema.add(id_col, "long")
+
+    def add_ids(iterator):
+        # One partition = batches of one _pid, rows sorted by key. Track
+        # the running distinct count across batches (keys may span batch
+        # boundaries).
+        import pandas as pd
+
+        base = None
+        prev_last = None
+        seen = 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            keys = pdf[key]
+            codes, uniques = pd.factorize(keys, sort=False)  # sorted input → codes ascending
+            start = seen
+            if prev_last is not None and len(uniques) and uniques[0] == prev_last:
+                start -= 1  # first key continues the previous batch's run
+            out = pdf.drop(columns=["_pid"]).copy()
+            out[id_col] = codes + (base + start)
+            seen = start + len(uniques)
+            prev_last = keys.iloc[-1]
+            yield out
+
+    return ranged.mapInPandas(add_ids, out_schema)
+
+
 def edges_from_pages(pages: DataFrame, keep_external: bool = False) -> tuple[DataFrame, DataFrame]:
     """pages -> (url_dict(url, id), edges(src, dst)) in long-id space.
 

@@ -58,7 +58,13 @@ class ColoringResult:
     n_colors: int
 
 
-def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: str = "coloring") -> ColoringResult:
+def jp_color(
+    edges: DataFrame,
+    prio: DataFrame,
+    max_iters: int = 500,
+    kernel: str = "coloring",
+    chunk: int = 4,
+) -> ColoringResult:
     """Jones–Plassmann rounds over an arbitrary priority table.
 
     ``prio``: (vertex, prio) — any orderable column; ties broken by
@@ -69,27 +75,41 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
     maximum among its uncolored neighbors takes the smallest color
     unused by its colored neighbors (coloring_jones_v1.h:17-70).
 
-    truncate_every=1 is MEASURED, not an oversight: each round is a
-    join-bearing plan segment (edge join + window + agg + state join),
-    and chaining those between hard truncations compounds Catalyst's
-    inherited size estimates. ABBA-measured on the sf0.1 doc graph
-    (23 rounds, 32 cores): every=1 → 24.6s median, every=3 → 47.9s.
-    PageRank-style single-join chunks prefer every=3 (superstep.py),
-    but do not raise it here.
+    Round shape (the CC fast-path trick): the edge table carries STATIC
+    self-loops, so one round is a single edges⋈state join + one
+    aggregation — the self row re-delivers the vertex's own
+    (color, prio) into its groupBy(vertex) group, replacing both the
+    uncolored-filter join and the commit join of the former 3-reference
+    round. With the state referenced exactly once per round, ``chunk``
+    rounds chain lazily into ONE Spark job with zero recompute (the old
+    shape re-executed ~3^k state subtrees per chunk, which is why
+    chunking used to measure 2× SLOWER — truncate_every=1 was optimal
+    only for that plan). The per-round commit rule and mex arithmetic
+    are unchanged, so the coloring is bit-identical.
     """
-    # the edge table is re-joined EVERY round — materialize it once
-    # instead of re-deriving an arbitrary upstream plan per superstep
     from gms_spark.graph.build import stage_edges
 
     edges = stage_edges(edges)
     state0 = vertices(edges).join(prio, "vertex").select("vertex", F.lit(None).cast("long").alias("color"), "prio")
+    num_partitions = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # self-looped edge table, partitioned by src once (like PageRank's
+    # SpMV table): per-round joins shuffle only the slim state side
+    ep = (
+        edges.select("src", "dst")
+        .unionAll(
+            vertices(edges).select(F.col("vertex").alias("src"), F.col("vertex").alias("dst"))
+        )
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    ep.count()
 
-    def step(state: DataFrame, i: int):
-        unc = state.where(F.col("color").isNull())
-        nbr = edges.join(
+    def one_round(state: DataFrame) -> DataFrame:
+        nbr = ep.join(
             state.select(F.col("vertex").alias("src"), F.col("color").alias("n_color"), F.col("prio").alias("n_prio")),
             "src",
         ).select(F.col("dst").alias("vertex"), "n_color", "n_prio", F.col("src").alias("n_vertex"))
+        self_row = F.col("n_vertex") == F.col("vertex")
         # Smallest-missing-color RELATIONALLY — no per-row color arrays
         # (a hub's collect_set would be an O(Δ)-sized single row; at web
         # Δ≈10^7 that is a 10-100 MB row and an executor OOM). dense_rank
@@ -97,7 +117,11 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
         # 0-based ascending rank rk; colors are non-negative and strictly
         # increasing per rank, so the mex is the first rank whose color
         # overshoots it — else 1 + the last rank. One exchange (the
-        # window's); the groupBy reuses its partitioning.
+        # window's); the groupBy reuses its partitioning. The self row is
+        # NULL-colored for exactly the vertices that may take a color
+        # this round, so it never perturbs the colored-neighbor ranks
+        # that feed the mex (a colored vertex's own rank row only feeds
+        # aggregates its coalesced own_color ignores).
         rk = (
             F.dense_rank().over(Window.partitionBy("vertex").orderBy(F.col("n_color").asc_nulls_last())) - 1
         ).cast("long")
@@ -105,39 +129,51 @@ def jp_color(edges: DataFrame, prio: DataFrame, max_iters: int = 500, kernel: st
             nbr.withColumn("rk", rk)
             .groupBy("vertex")
             .agg(
-                F.max(F.when(F.col("n_color").isNull(), F.struct("n_prio", "n_vertex"))).alias("max_unc"),
+                F.max(F.when(self_row, F.col("n_color"))).alias("own_color"),
+                F.max(F.when(self_row, F.col("n_prio"))).alias("own_prio"),
+                F.max(
+                    F.when(F.col("n_color").isNull() & ~self_row, F.struct("n_prio", "n_vertex"))
+                ).alias("max_unc"),
                 F.min(F.when(F.col("n_color").isNotNull() & (F.col("n_color") != F.col("rk")), F.col("rk"))).alias("gap"),
                 F.max(F.when(F.col("n_color").isNotNull(), F.col("rk"))).alias("max_rk"),
             )
         )
-        cand = (
-            unc.join(agg, "vertex", "left")
-            .where(
-                F.col("max_unc").isNull()
-                | (F.struct(F.col("prio").alias("n_prio"), F.col("vertex").alias("n_vertex")) > F.col("max_unc"))
-            )
-            .select(
-                "vertex",
-                F.coalesce(F.col("gap"), F.col("max_rk") + 1, F.lit(0))
-                .cast("long")
-                .alias("new_color"),
-            )
+        wins = F.col("max_unc").isNull() | (
+            F.struct(F.col("own_prio").alias("n_prio"), F.col("vertex").alias("n_vertex")) > F.col("max_unc")
         )
-        # the uncolored count is a Column delta: iterate's aggregate
-        # action materializes the round's lazy localCheckpoint + cache
-        # AND returns the scalar — ONE job per round (an Observation
-        # through a lazy checkpoint resolves to None; see superstep.py).
-        new = state.join(cand, "vertex", "left").select(
-            "vertex", F.coalesce("color", "new_color").alias("color"), "prio"
+        mex = F.coalesce(F.col("gap"), F.col("max_rk") + 1, F.lit(0)).cast("long")
+        return agg.select(
+            "vertex",
+            F.coalesce(F.col("own_color"), F.when(wins, mex)).alias("color"),
+            F.col("own_prio").alias("prio"),
         )
-        return new, F.sum(F.when(F.col("color").isNull(), 1).otherwise(0))
 
-    res = iterate(state0, step, max_iters=max_iters, tol=0.0, kernel=kernel, truncate_every=1)
-    if res.deltas and res.deltas[-1] > 0:
-        raise RuntimeError(f"{kernel}: {int(res.deltas[-1])} vertices uncolored after {max_iters} rounds")
-    colors = res.state.select("vertex", "color")
+    state = state0.persist()
+    state.count()
+    rounds = 0
+    uncolored = None
+    while rounds < max_iters:
+        k = min(chunk, max_iters - rounds)
+        new = state
+        for _ in range(k):
+            new = one_round(new)
+        # one job per chunk: the aggregate materializes the lazy
+        # checkpoint + cache and returns the uncolored count
+        new = new.localCheckpoint(eager=False).persist()
+        uncolored = int(
+            new.agg(F.sum(F.when(F.col("color").isNull(), 1).otherwise(0)).alias("d")).first()["d"] or 0
+        )
+        state.unpersist()
+        state = new
+        rounds += k
+        if uncolored == 0:
+            break
+    ep.unpersist()
+    if uncolored:
+        raise RuntimeError(f"{kernel}: {uncolored} vertices uncolored after {max_iters} rounds")
+    colors = state.select("vertex", "color")
     n_colors = colors.agg(F.countDistinct("color")).first()[0]
-    return ColoringResult(colors, res.iterations, int(n_colors))
+    return ColoringResult(colors, rounds, int(n_colors))
 
 
 def jp_random(edges: DataFrame, seed: int = 27491095, max_iters: int = 500) -> ColoringResult:
@@ -539,14 +575,7 @@ def elkin(
         d_fp = _elkin_dnext_fp(d_fp, ed, t_fp)
         salt = _round_salt(i, seed)
         unc = state.where(F.col("color").isNull()).select("vertex")
-        # Materialize the neighbor-held-color rows ONCE per round: the
-        # lazy frame is referenced twice (the m-count window and samp's
-        # palette anti-join), and samp itself twice more (the lower-id
-        # conflict side and the commit) — left lazy, the edges⋈state
-        # exchange re-executed up to 4× per round (Spark DataFrames have
-        # no cross-branch common-subexpression elimination). One extra
-        # small job per round, same rows, bit-identical coloring.
-        used = _used_rows(edges, state, only=unc).localCheckpoint(eager=True)
+        used = _used_rows(edges, state, only=unc)  # rows, never arrays
         # |used(v)| via dense_rank + max, NOT countDistinct: the window
         # exchanges on vertex once and the groupBy(vertex) after it
         # reuses that partitioning (no second exchange, no separate
@@ -577,8 +606,17 @@ def elkin(
             .select("vertex", "c")
             # palette(v) excludes neighbor-held colors (was ~array_contains)
             .join(used.select("vertex", F.col("u").alias("c")), ["vertex", "c"], "left_anti")
-            # referenced by BOTH the conflict side (lower) and the commit
-            # (avail) — materialize once (see the `used` note above)
+            # Materialized ONCE per round: samp is referenced by BOTH the
+            # conflict side (lower) and the commit (avail), and its own
+            # subtree contains the edges⋈state `used` frame twice (the
+            # m-count window and the palette anti-join) — left fully
+            # lazy, that exchange re-executed up to 4× per round (Spark
+            # DataFrames have no cross-branch CSE). One checkpoint job
+            # per round caps the recompute at 2 `used` evaluations
+            # inside this job (checkpointing `used` separately as well
+            # was measured SLOWER at sf0.1 — the extra per-round job's
+            # fixed cost exceeds the tiny duplicated join). Same rows,
+            # bit-identical coloring.
             .localCheckpoint(eager=True)
         )
         # drop colors also sampled by a LOWER-id neighbor (:84-112) — a

@@ -300,7 +300,7 @@ def degeneracy_order(edges: DataFrame, max_rounds: int = 1_000_000, return_round
 
 
 def coreness_hindex(
-    edges: DataFrame, max_rounds: int = 200, check_every: int = 2, return_rounds: bool = False
+    edges: DataFrame, max_rounds: int = 200, check_every: int = 4, return_rounds: bool = False
 ):
     """(vertex, core) — exact k-core numbers by iterated neighbor H-index.
 
@@ -354,10 +354,13 @@ def coreness_hindex(
             .groupBy("vertex")
             .agg(F.max(F.least(F.col("ccnt"), F.col("nval"))).alias("h"))
         )
-        return (
-            cur.join(h, "vertex", "left")
-            .select("vertex", F.coalesce("h", F.lit(0)).cast("long").alias("core"))
-        )
+        # No fill-join back onto `cur`: on a symmetrized graph every
+        # vertex has ≥1 neighbor, so `h` already covers the full vertex
+        # set — and dropping the join makes the round reference the
+        # incoming state exactly ONCE, so check_every-deep lazy chains
+        # are recompute-free (the join version re-executed ~2^k state
+        # subtrees per chunk).
+        return h.select("vertex", F.col("h").cast("long").alias("core"))
 
     done = 0
     converged = False
