@@ -554,6 +554,10 @@ def elkin(
     max_deg = int(degrees(edges).agg(F.max("degree")).first()[0] or 0)
     palette_n = max_deg + 1
     n = vertices(edges).count()
+    # (Pre-partitioning the edge table by src + persist was tried and
+    # measured SLOWER here: the columnar cache's per-round scan cost
+    # exceeds the exchange it saves — see stage_edges' checkpoint-vs-
+    # persist note. Edges stay a localCheckpoint.)
 
     # reference parameter dance (coloring_elkin.h:19-45) in FIXED-POINT
     # integer arithmetic (see _elkin_params_fp) — engine-agnostic, so
@@ -628,6 +632,8 @@ def elkin(
         )
         avail = samp.join(lower, ["vertex", "c"], "left_anti")
         # commit to the (mix % |avail(v)|)-th smallest available sample
+        # (an array-collect form measured neutral and is banned by the
+        # module's hub-safety source guard — rows it stays)
         pick_salt = _round_salt(i, seed + 1)
         pick_mix = ((F.col("vertex") % ARITH_P) * ARITH_A + F.lit(pick_salt).cast("long")) % ARITH_P
         picked = avail.withColumn(

@@ -48,7 +48,13 @@ def kclique_count(edges: DataFrame, k: int, order: str = "degree") -> int:
     from gms_spark.graph.setops import batch_intersect
     from gms_spark.graph.triangles import orient
 
-    dag = orient(edges, order)
+    from gms_spark.graph.build import stage_edges
+
+    # materialize the DAG once: it feeds the adjacency aggregation AND
+    # the level-2 frontier join — left lazy, the upstream graph build +
+    # orientation would re-execute per reference (stage_edges guards the
+    # raw input the same way inside orient's degree joins)
+    dag = orient(stage_edges(edges), order).localCheckpoint(eager=True)
     adj = adjacency(dag).persist()
     adj.count()
 
@@ -101,7 +107,9 @@ def kclique_list(edges: DataFrame, k: int, order: str = "degree") -> DataFrame:
     from gms_spark.graph.setops import batch_intersect
     from gms_spark.graph.triangles import orient
 
-    dag = orient(edges, order)
+    from gms_spark.graph.build import stage_edges
+
+    dag = orient(stage_edges(edges), order).localCheckpoint(eager=True)
     if k == 2:
         return dag.select(F.array_sort(F.array("src", "dst")).alias("members"))
     adj = adjacency(dag).persist()

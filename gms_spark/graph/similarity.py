@@ -33,8 +33,13 @@ from gms_spark.graph.build import degrees
 
 
 def _pair_stats(edges: DataFrame, pairs: DataFrame) -> DataFrame:
-    """pairs(a,b) + (c, aa, ra, deg_a, deg_b) via relational plans only."""
-    deg = degrees(edges)
+    """pairs(a,b) + (c, aa, ra, deg_a, deg_b) via relational plans only.
+
+    ``edges`` must be staged by the caller (it is scanned by the
+    common-neighbor join twice). The degree table is materialized once —
+    it feeds three join sides, and left lazy each would re-run the
+    groupBy over the full edge set."""
+    deg = degrees(edges).localCheckpoint(eager=True)
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("w"))
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("w"))
     common = (
@@ -61,6 +66,12 @@ def _pair_stats(edges: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def vertex_similarity(edges: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """All 7 GMS metrics per pair; default pairs = the graph's edges a<b."""
+    from gms_spark.graph.build import stage_edges
+
+    # the edge table feeds the pair projection, both common-neighbor join
+    # sides and the degree table — an unstaged (lazy) graph build would
+    # re-execute once per reference inside the one similarity job
+    edges = stage_edges(edges)
     if pairs is None:
         pairs = edges.where(F.col("src") < F.col("dst")).select(
             F.col("src").alias("a"), F.col("dst").alias("b")
@@ -86,6 +97,9 @@ def link_prediction_topq(edges: DataFrame, q: int = 20, metric: str = "adamic_ad
     Candidates: 2-hop pairs (complete for any common-neighbor-based
     metric — anything else scores 0). Anti-join removes existing edges.
     """
+    from gms_spark.graph.build import stage_edges
+
+    edges = stage_edges(edges)  # ~8 references across candidates + scoring
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("w"))
     e2 = edges.select(F.col("dst").alias("b"), F.col("src").alias("w"))
     cands = (

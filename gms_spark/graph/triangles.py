@@ -94,9 +94,19 @@ def orient_by_degree(edges: DataFrame) -> DataFrame:
 
 
 def _oriented_pairs(edges: DataFrame) -> DataFrame:
-    """Oriented-edge rows with both endpoint out-neighborhoods attached."""
-    dag = orient_by_degree(edges)
-    adj = adjacency(dag)
+    """Oriented-edge rows with both endpoint out-neighborhoods attached.
+
+    Staged/materialized stepwise: the raw edges feed the degree table
+    (twice) plus the orientation join, the DAG feeds the adjacency
+    aggregation plus the pair join, and the adjacency feeds both join
+    sides — left lazy, an expensive upstream graph build re-executes
+    once per reference inside the one mining job (measured ~3× on the
+    doc-graph queries)."""
+    from gms_spark.graph.build import stage_edges
+
+    edges = stage_edges(edges)
+    dag = orient_by_degree(edges).localCheckpoint(eager=True)
+    adj = adjacency(dag).localCheckpoint(eager=True)
     return dag.join(adj.withColumnRenamed("neigh", "neigh_u"), "src").join(
         adj.withColumnRenamed("src", "dst").withColumnRenamed("neigh", "neigh_v"),
         "dst",
