@@ -193,7 +193,18 @@ def assign_dense_ids(df: DataFrame, order_cols: list, id_col: str = "id", num_pa
             pos += len(pdf)
             yield out
 
-    return ranged.mapInPandas(add_ids, out_schema)
+    # Materialized EAGERLY before returning — load-bearing for
+    # correctness, not a performance nicety: repartitionByRange samples
+    # its range boundaries with a per-execution random seed, so any
+    # consumer plan that re-evaluates this subtree (a frame referenced
+    # on both sides of a join, a cache-bypassing branch, a retried
+    # stage) would re-draw boundaries and assign DIFFERENT ids than a
+    # sibling branch — ids stay bijective per evaluation, so the
+    # corruption is silent (measured: a dedup verify join whose two
+    # sides disagreed on the dictionary). The checkpoint pins one
+    # evaluation; downstream can only scan it (a lost block fails
+    # loudly instead of resampling).
+    return ranged.mapInPandas(add_ids, out_schema).localCheckpoint(eager=True)
 
 
 def dense_rank_ids(
@@ -257,7 +268,10 @@ def dense_rank_ids(
             prev_last = keys.iloc[-1]
             yield out
 
-    return ranged.mapInPandas(add_ids, out_schema)
+    # Eager checkpoint: same load-bearing barrier as assign_dense_ids —
+    # the range sampling is per-execution random, so the one evaluation
+    # made here must be the only one consumers can ever see.
+    return ranged.mapInPandas(add_ids, out_schema).localCheckpoint(eager=True)
 
 
 def edges_from_pages(pages: DataFrame, keep_external: bool = False) -> tuple[DataFrame, DataFrame]:
@@ -287,7 +301,10 @@ def edges_from_pages(pages: DataFrame, keep_external: bool = False) -> tuple[Dat
         .groupBy("url")
         .agg(F.count("*").alias("degree"))
     )
-    all_urls = urls.join(deg, "url", "left").fillna(0, ["degree"])
+    # staged: assign_dense_ids' range repartition samples its child
+    # before exchanging it — unstaged, the degree join would execute
+    # once per pass
+    all_urls = urls.join(deg, "url", "left").fillna(0, ["degree"]).localCheckpoint(eager=True)
     # materialize the (slim) dictionary once: the edge join consumes it
     # TWICE (src and dst side) and its id-assignment tail is an Arrow
     # mapInPandas stage — left lazy, that Python stage runs once per

@@ -94,7 +94,10 @@ def shingle_ids(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFram
     """
     from gms_spark.graph.build import dense_rank_ids
 
-    ss = shingle_strings(docs, k, text_col)
+    # staged: repartitionByRange executes its child TWICE (the range-
+    # boundary sampling pass, then the real exchange) — unstaged, the
+    # whole shingle explode+distinct would run once per pass
+    ss = shingle_strings(docs, k, text_col).localCheckpoint(eager=True)
     return dense_rank_ids(ss, "sh_str").select(
         "doc_id", (F.col("id") + 1).alias("shingle")
     )
